@@ -1,0 +1,150 @@
+"""Flax ViT-B/16 with timm geometry and optional LoRA(q,v) adapters.
+
+Architecture parity target: timm `vit_base_patch16_224`
+(reference: bioscanclip/model/simple_clip.py:150) — 16x16 conv patch embed,
+prepended CLS token, learned 197-token position embedding, 12 pre-LN
+transformer blocks (fused qkv with bias, exact-erf GELU, LN eps 1e-6), final
+LN, CLS-token pooling, and a linear head reset to `output_dim`
+(image_encoder.py:94-95 — the head is the only full-rank trainable
+projection; it is freshly initialized, not pretrained).
+
+LoRA placement matches `_LoRA_qkv_timm` (image_encoder.py:42-48): the rank-r
+deltas are added to the q and v slices of the *fused qkv output*.
+
+TPU-first choices: layers run under `nn.scan` (stacked (L, ...) params →
+single compiled loop body, fast compile, remat-friendly), matmuls in a
+configurable compute dtype (bfloat16 on TPU) with fp32 params, softmax in
+fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    num_classes: int = 768  # output_dim head (simple_clip.py:152-156)
+    lora_rank: int = 4  # 0 disables LoRA (disable_lora path)
+    dropout: float = 0.0
+    ln_eps: float = 1e-6
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+class ViTBlock(nn.Module):
+    """One pre-LN transformer block with fused-qkv attention and LoRA(q,v)."""
+
+    cfg: ViTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        c = self.cfg
+        d = c.hidden_size
+        h = c.num_heads
+        hd = d // h
+
+        y = nn.LayerNorm(epsilon=c.ln_eps, name="norm1", dtype=jnp.float32)(x)
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(y)
+        if c.lora_rank > 0:
+            a_q = self.param("lora_q_a", lora_a_init, (d, c.lora_rank))
+            b_q = self.param("lora_q_b", lora_b_init, (c.lora_rank, d))
+            a_v = self.param("lora_v_a", lora_a_init, (d, c.lora_rank))
+            b_v = self.param("lora_v_b", lora_b_init, (c.lora_rank, d))
+            # Deltas on the q and v slices of the fused output
+            # (image_encoder.py:46-47).
+            dq = lora_delta(y, a_q, b_q, self.dtype)
+            dv = lora_delta(y, a_v, b_v, self.dtype)
+            qkv = qkv.at[..., :d].add(dq).at[..., 2 * d :].add(dv)
+
+        B, N, _ = qkv.shape
+        qkv = qkv.reshape(B, N, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, d)
+        y = nn.Dense(d, dtype=self.dtype, name="proj")(y)
+        x = x + y
+
+        y = nn.LayerNorm(epsilon=c.ln_eps, name="norm2", dtype=jnp.float32)(x)
+        y = nn.Dense(c.mlp_ratio * d, dtype=self.dtype, name="fc1")(y)
+        # timm uses exact (erf) GELU; jax.nn.gelu defaults to tanh approx.
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(d, dtype=self.dtype, name="fc2")(y)
+        if c.dropout > 0:
+            y = nn.Dropout(c.dropout)(y, deterministic=deterministic)
+        # (carry, scan-output) protocol for nn.scan.
+        return x + y, None
+
+
+class ViT(nn.Module):
+    """timm-geometry ViT with CLS pooling and a linear head."""
+
+    cfg: ViTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, deterministic: bool = True, return_tokens=False):
+        """images: (B, H, W, 3) float, already preprocessed (NHWC — the
+        native TPU conv layout; the reference's NCHW tensors are transposed
+        at the data boundary)."""
+        c = self.cfg
+        x = nn.Conv(
+            c.hidden_size,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(images.astype(self.dtype))
+        B = x.shape[0]
+        x = x.reshape(B, -1, c.hidden_size)  # (B, 196, D)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, c.hidden_size)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, c.hidden_size)).astype(self.dtype), x],
+            axis=1,
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, c.num_patches + 1, c.hidden_size),
+        )
+        x = x + pos.astype(self.dtype)
+
+        block = nn.scan(
+            ViTBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=c.num_layers,
+            in_axes=nn.broadcast,
+        )(c, self.dtype, name="blocks")
+        x, _ = block(x, deterministic)
+
+        x = nn.LayerNorm(epsilon=c.ln_eps, name="norm", dtype=jnp.float32)(x)
+        if return_tokens:
+            return x
+        x = x[:, 0]  # CLS pooling (timm 'token' pool for this model)
+        if c.num_classes > 0:
+            x = nn.Dense(c.num_classes, dtype=self.dtype, name="head")(x)
+        return x

@@ -8,7 +8,12 @@ the strategy SURVEY.md §4 prescribes for this rebuild.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the ambient environment pins JAX_PLATFORMS=axon (TPU) and a
+# sitecustomize hook force-registers the axon plugin with
+# jax_platforms="axon,cpu" in every interpreter. Tests must run on the
+# virtual CPU mesh (TPU f32 matmuls are bf16-reduced, which would break
+# parity tolerances), so override the already-applied config value too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,3 +23,10 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; got " + jax.default_backend()
+)
