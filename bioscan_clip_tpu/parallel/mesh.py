@@ -1,0 +1,61 @@
+"""Device mesh + sharding helpers — the single parallelism abstraction.
+
+The reference's distributed layer is NCCL process groups + broadcast +
+all_gather (train_cl.py:42-46, loss_func.py:58-91). Here all of it collapses
+into one `jax.sharding.Mesh` with a `data` axis:
+
+- parameter "broadcast" = replicated params under jit (free),
+- gradient all-reduce = sharded autodiff (automatic, fixing the reference's
+  missing grad sync),
+- the ClipLoss feature all-gather = XLA-inserted ICI all-gather when the
+  loss reads the globally-sharded embedding array.
+
+The mesh reserves room for more axes (tensor/fsdp) so scaling beyond data
+parallel is a config change, not a rewrite.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(mesh_shape: Optional[dict] = None, devices=None) -> Mesh:
+    """Build the device mesh. Default: every device on one `data` axis.
+
+    mesh_shape: optional {axis_name: size} dict (e.g. {"data": 4,
+    "model": 2}); sizes must multiply to the device count (-1 = infer).
+    """
+    devices = devices if devices is not None else jax.devices()
+    if not mesh_shape:
+        mesh_shape = {DATA_AXIS: len(devices)}
+    names = tuple(mesh_shape.keys())
+    sizes = list(mesh_shape.values())
+    n = len(devices)
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = n // known
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch (pytree of arrays) sharded over `data`."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

@@ -1,0 +1,129 @@
+"""The jitted global-batch contrastive train step + epoch driver.
+
+One `jax.jit` over the mesh covers: 3 encoder forwards, the global-batch
+pairwise InfoNCE (XLA all-gathers the (B, D) embeddings over ICI — the
+ClipLoss semantics, loss_func.py:117-136), backward, and the masked AdamW
+update. The batch is sharded over the `data` axis; params/opt state are
+replicated. This is the whole of the reference's mp.spawn + NCCL + broadcast
++ all_gather machinery (train_cl.py:42-46,149; §2.8), expressed as shardings.
+
+Per-step LR scheduling matches train_epoch.py:41-42 (scheduler.step() every
+step).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bioscan_clip_tpu.losses.contrastive import multimodal_contrastive_loss
+from bioscan_clip_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated,
+    shard_batch,
+)
+
+LOGIT_SCALE = 1.0 / 0.07  # fixed temperature (train_cl.py:190)
+
+
+def make_train_step(model, mesh, logit_scale: float = LOGIT_SCALE):
+    """Build the jitted train step for a MultiModalCLIP model on `mesh`."""
+
+    def loss_fn(params, batch, dropout_rng):
+        img, dna, txt = model.apply(
+            {"params": params},
+            image_input=batch.get("image"),
+            dna_input=batch.get("dna"),
+            language_input=batch.get("language"),
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        return multimodal_contrastive_loss(
+            {"image": img, "dna": dna, "language": txt},
+            batch["labels"],
+            logit_scale,
+        )
+
+    @functools.partial(
+        jax.jit,
+        donate_argnums=(0,),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    def train_step(state, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, dropout_rng
+        )
+        return state.apply_gradients(grads), loss
+
+    return train_step
+
+
+def make_embed_step(model, mesh, modality: str):
+    """Jitted inference step for one modality -> normalized (B, D) embeddings
+    (the hot loop of get_feature_and_label, inference_epoch.py:8-68)."""
+
+    method = {
+        "image": model.encode_image,
+        "dna": model.encode_dna,
+        "language": model.encode_language,
+    }[modality]
+
+    @functools.partial(jax.jit, out_shardings=batch_sharding(mesh))
+    def embed(params, inputs):
+        return model.apply(
+            {"params": params}, inputs, deterministic=True, method=method
+        )
+
+    return embed
+
+
+def train_epoch(
+    state,
+    train_step,
+    dataloader,
+    mesh,
+    rng,
+    epoch: int,
+    total_epochs: int,
+    log_every: int = 20,
+    logger=None,
+    wandb_run=None,
+):
+    """One epoch over a host dataloader yielding batch dicts.
+
+    Replaces epoch/train_epoch.py:11-61: per-step forward/backward/step +
+    per-step scheduler + per-step metric logging (loss, lr, step time) —
+    without the reference's permanently-enabled anomaly mode.
+    """
+    losses = []
+    t_start = time.perf_counter()
+    n_samples = 0
+    for i, batch in enumerate(dataloader):
+        batch = shard_batch(batch, mesh)
+        n_samples += int(batch["labels"].shape[0])
+        state, loss = train_step(state, batch, rng)
+        if (i % log_every == 0 or i < 3) and logger is not None:
+            loss_v = float(loss)
+            losses.append(loss_v)
+            logger(
+                f"epoch {epoch}/{total_epochs} step {i} "
+                f"loss {loss_v:.4f} "
+                f"({n_samples / (time.perf_counter() - t_start):.1f} samples/s)"
+            )
+            if wandb_run is not None:
+                wandb_run.log({"loss": loss_v, "epoch": epoch})
+        else:
+            losses.append(None)
+    # block on the last step so epoch timing is honest
+    jax.block_until_ready(state.params)
+    dur = time.perf_counter() - t_start
+    return state, {
+        "epoch_time_s": dur,
+        "samples_per_s": n_samples / dur if dur > 0 else 0.0,
+    }

@@ -1,0 +1,107 @@
+"""TrainState: params + optax AdamW with functional freezing.
+
+The reference freezes pretrained weights with requires_grad=False and trains
+only the LoRA adapters plus each tower's fresh projection (image `head`
+image_encoder.py:94-95, DNA `decoder` dna_encoder.py:93-95, text `proj`
+language_encoder.py:78), using AdamW(lr from lr_config, default 1e-3)
+over model.parameters() (train_cl.py:158).
+
+Here freezing is an optax.multi_transform mask over the param tree — the
+idiomatic functional-JAX equivalent. With `disable_lora` everything is
+trainable (simple_clip.py:199-201).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+TRAINABLE_HEAD_NAMES = ("head", "decoder", "proj")
+
+
+def param_labels(params, disable_lora: bool = False):
+    """Label each leaf 'trainable' or 'frozen' by its tree path."""
+
+    def label_path(path):
+        keys = [getattr(p, "key", None) for p in path]
+        if disable_lora:
+            return "trainable"
+        for k in keys:
+            if isinstance(k, str) and k.startswith("lora_"):
+                return "trainable"
+        # fresh projections live at the top of each tower: the full-rank
+        # trainable heads. Identify by the *last module* name.
+        for k in keys[:-1]:
+            if k in TRAINABLE_HEAD_NAMES:
+                return "trainable"
+        # MLP/identity encoders (feature input_type) are fully trainable.
+        for k in keys:
+            if k in ("fc1", "fc2", "fc3") and not any(
+                isinstance(kk, str) and kk in ("blocks", "layers", "bert")
+                for kk in keys
+            ):
+                return "trainable"
+        return "frozen"
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: label_path(path), params
+    )
+
+
+def count_trainable(params, labels) -> tuple:
+    tr = fr = 0
+    for leaf, lab in zip(
+        jax.tree.leaves(params), jax.tree.leaves(labels)
+    ):
+        if lab == "trainable":
+            tr += leaf.size
+        else:
+            fr += leaf.size
+    return tr, fr
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    apply_fn: Any = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt
+        )
+
+
+def create_train_state(
+    model,
+    params,
+    schedule,
+    disable_lora: bool = False,
+    weight_decay: float = 0.01,
+) -> TrainState:
+    """AdamW (torch defaults: b1=0.9 b2=0.999 eps=1e-8 wd=0.01) masked to the
+    trainable subset; frozen leaves get set_to_zero (no state, no update)."""
+    labels = param_labels(params, disable_lora=disable_lora)
+    tx = optax.multi_transform(
+        {
+            "trainable": optax.adamw(
+                learning_rate=schedule, weight_decay=weight_decay
+            ),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )

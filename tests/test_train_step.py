@@ -1,0 +1,152 @@
+"""Train-step tests on the 8-device virtual CPU mesh: sharded global-batch
+loss, gradient correctness vs single-device, freezing mask, loss descent.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bioscan_clip_tpu.losses.contrastive import multimodal_contrastive_loss
+from bioscan_clip_tpu.models.bert import BarcodeBertDnaEncoder, BertConfig
+from bioscan_clip_tpu.models.clip import MultiModalCLIP
+from bioscan_clip_tpu.models.vit import ViT, ViTConfig
+from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
+from bioscan_clip_tpu.train.loop import make_train_step
+from bioscan_clip_tpu.train.state import (
+    count_trainable,
+    create_train_state,
+    param_labels,
+)
+
+
+def _tiny_model(lora_rank=2):
+    return MultiModalCLIP(
+        image_encoder=ViT(
+            ViTConfig(
+                image_size=16, patch_size=8, hidden_size=32, num_layers=2,
+                num_heads=2, num_classes=24, lora_rank=lora_rank,
+            ),
+            dtype=jnp.float32,
+        ),
+        dna_encoder=BarcodeBertDnaEncoder(
+            BertConfig(
+                vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                intermediate_size=64, lora_rank=lora_rank,
+                hidden_dropout=0.0, attention_dropout=0.0,
+            ),
+            output_dim=24,
+            dtype=jnp.float32,
+        ),
+        language_encoder=None,
+    )
+
+
+def _batch(B=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": jnp.asarray(
+            rng.standard_normal((B, 16, 16, 3)).astype(np.float32)
+        ),
+        "dna": jnp.asarray(rng.integers(0, 64, size=(B, 9)), jnp.int32),
+        "labels": jnp.arange(B),
+    }
+
+
+def _init_state(model, disable_lora=False):
+    batch = _batch(4)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["image"], batch["dna"]
+    )["params"]
+    return create_train_state(
+        model, params, lambda s: 1e-3, disable_lora=disable_lora
+    )
+
+
+def test_mesh_has_8_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_param_labels_lora_mode():
+    model = _tiny_model()
+    state = _init_state(model)
+    labels = param_labels(state.params)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    trainable_paths = [
+        "/".join(str(getattr(p, "key", p)) for p in path)
+        for path, lab in flat
+        if lab == "trainable"
+    ]
+    # LoRA adapters + ViT head + DNA decoder, nothing else
+    assert any("lora_q_a" in p for p in trainable_paths)
+    assert any("head" in p for p in trainable_paths)
+    assert any("decoder" in p for p in trainable_paths)
+    assert not any("qkv" in p and "lora" not in p for p in trainable_paths)
+    assert not any("word_embeddings" in p for p in trainable_paths)
+    tr, fr = count_trainable(state.params, labels)
+    assert 0 < tr < fr
+
+
+def test_frozen_params_do_not_move():
+    model = _tiny_model()
+    mesh = create_mesh()
+    state = _init_state(model)
+    before = jax.tree.map(np.asarray, state.params)
+    step = make_train_step(model, mesh)
+    batch = shard_batch(_batch(16), mesh)
+    state2, loss = step(state, batch, jax.random.PRNGKey(1))
+    after = state2.params
+    # frozen: ViT qkv kernel unchanged
+    np.testing.assert_array_equal(
+        before["image_encoder"]["blocks"]["qkv"]["kernel"],
+        np.asarray(after["image_encoder"]["blocks"]["qkv"]["kernel"]),
+    )
+    # trainable: LoRA B moved away from zero-init after one AdamW step
+    assert np.abs(
+        np.asarray(after["image_encoder"]["blocks"]["lora_q_b"])
+    ).max() > 0
+    assert np.isfinite(float(loss))
+
+
+def test_sharded_matches_single_device():
+    """Global-batch loss/grads on the 8-device mesh == single device."""
+    model = _tiny_model()
+    state = _init_state(model)
+    batch = _batch(16)
+
+    mesh8 = create_mesh()
+    step8 = make_train_step(model, mesh8)
+    s8, l8 = step8(state, shard_batch(batch, mesh8), jax.random.PRNGKey(7))
+
+    mesh1 = create_mesh(devices=jax.devices()[:1])
+    state1 = _init_state(model)  # same rng -> same init
+    step1 = make_train_step(model, mesh1)
+    s1, l1 = step1(state1, shard_batch(batch, mesh1), jax.random.PRNGKey(7))
+
+    assert float(l8) == pytest.approx(float(l1), rel=1e-5)
+    a = np.asarray(s8.params["image_encoder"]["blocks"]["lora_q_b"])
+    b = np.asarray(s1.params["image_encoder"]["blocks"]["lora_q_b"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_loss_descends():
+    model = _tiny_model()
+    mesh = create_mesh()
+    state = _init_state(model)
+    step = make_train_step(model, mesh)
+    batch = shard_batch(_batch(16), mesh)
+    losses = []
+    for i in range(8):
+        state, loss = step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_disable_lora_trains_everything():
+    model = _tiny_model(lora_rank=0)
+    state = _init_state(model, disable_lora=True)
+    labels = param_labels(state.params, disable_lora=True)
+    assert all(l == "trainable" for l in jax.tree.leaves(labels))
