@@ -1,0 +1,203 @@
+"""Host->device streaming data pipeline.
+
+Replaces the reference's torch DataLoader + per-sample PIL/torchvision CPU
+workers (dataset.py:97-368) with a TPU-shaped pipeline:
+
+- chunked sequential HDF5 reads (sorted-index batch gets),
+- *streamed* DNA tokenization (vectorized per batch) — the reference
+  tokenizes the entire split eagerly at dataloader construction
+  (dataset.py:318-326), an O(split) startup stall this design removes,
+- threaded JPEG decode to uint8 on the host (decode is the only stage that
+  cannot run on TPU),
+- a background prefetch thread keeping `prefetch_depth` batches ready,
+- augmentation runs on DEVICE (data/transforms.py) fused into the train
+  step, so the host ships raw uint8 pixels only.
+
+Multi-host: each JAX process reads its `process_index`-strided shard of
+every batch (DistributedSampler(drop_last=True) semantics, dataset.py:41-48).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+import numpy as np
+
+from bioscan_clip_tpu.data.hdf5 import SplitReader
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
+    try:
+        import cv2
+
+        arr = cv2.imdecode(
+            np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR
+        )
+        return arr[:, :, ::-1]  # BGR -> RGB
+    except Exception:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+
+
+def _host_resize_shorter(img: np.ndarray, size: int) -> np.ndarray:
+    """Shorter-side resize on host (cv2 bilinear), used only to unify shapes
+    before batching; the filter-accurate resize happens on device."""
+    import cv2
+
+    h, w = img.shape[:2]
+    if min(h, w) == size:
+        return img
+    if h <= w:
+        nh, nw = size, max(1, int(round(size * w / h)))
+    else:
+        nh, nw = max(1, int(round(size * h / w))), size
+    interp = cv2.INTER_AREA if nh < h else cv2.INTER_LINEAR
+    return cv2.resize(img, (nw, nh), interpolation=interp)
+
+
+class BioscanLoader:
+    """Iterable over batch dicts for one split.
+
+    Batch dict keys (modalities follow model_config):
+      image_u8: (B, H, W, 3) uint8 — raw pixels, device transforms apply
+      dna:      (B, 133) int32 k-mer tokens
+      language: {input_ids, token_type_ids, attention_mask} (B, 20) int32
+      labels:   (B,) int64 instance/BIN ids (training) — absent for eval
+      label_dicts: host list of 4-level dicts (eval)
+      ids:      host list of processid/image_file strings
+    """
+
+    def __init__(
+        self,
+        hdf5_path: str,
+        split: str,
+        batch_size: int,
+        *,
+        with_image: bool = True,
+        with_dna: bool = True,
+        with_language: bool = True,
+        for_training: bool = False,
+        shuffle: bool = False,
+        drop_last: Optional[bool] = None,
+        labels: Optional[np.ndarray] = None,
+        seed: int = 0,
+        decode_threads: int = 16,
+        prefetch_depth: int = 2,
+        host_resize_to: int = 256,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.reader = SplitReader(hdf5_path, split)
+        self.split = split
+        self.batch_size = batch_size
+        self.with_image = with_image
+        self.with_dna = with_dna
+        self.with_language = with_language
+        self.for_training = for_training
+        self.shuffle = shuffle
+        self.drop_last = for_training if drop_last is None else drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.decode_threads = decode_threads
+        self.prefetch_depth = prefetch_depth
+        self.host_resize_to = host_resize_to
+        self.process_index = process_index
+        self.process_count = process_count
+        self.n = len(self.reader)
+        # instance labels for contrastive training (dataset.py:147) unless
+        # BIN labels were passed in
+        self.labels = labels
+        if for_training and labels is None:
+            self.labels = np.arange(self.n, dtype=np.int64)
+        self._pool = ThreadPoolExecutor(max_workers=decode_threads)
+
+    def __len__(self):
+        per_proc = self.n // self.process_count if self.drop_last else self.n
+        if self.drop_last:
+            return per_proc // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _index_batches(self):
+        idx = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index :: self.process_count]
+        bs = self.batch_size
+        n_full = len(idx) // bs
+        for b in range(n_full):
+            yield idx[b * bs : (b + 1) * bs]
+        if not self.drop_last and n_full * bs < len(idx):
+            yield idx[n_full * bs :]
+
+    def _make_batch(self, idx) -> dict:
+        batch = {}
+        if self.with_image:
+            bufs = self.reader.read_images_bytes(idx)
+            imgs = list(self._pool.map(_decode_jpeg, bufs))
+            if self.host_resize_to:
+                imgs = list(
+                    self._pool.map(
+                        lambda im: _host_resize_shorter(
+                            im, self.host_resize_to
+                        ),
+                        imgs,
+                    )
+                )
+            shapes = {im.shape for im in imgs}
+            if len(shapes) > 1:  # rare: unify to the first shape
+                import cv2
+
+                h0, w0 = imgs[0].shape[:2]
+                imgs = [
+                    im
+                    if im.shape[:2] == (h0, w0)
+                    else cv2.resize(im, (w0, h0))
+                    for im in imgs
+                ]
+            batch["image_u8"] = np.stack(imgs).astype(np.uint8)
+        if self.with_dna:
+            batch["dna"] = self.reader.read_dna_tokens(idx)
+        if self.with_language:
+            batch["language"] = self.reader.read_language_tokens(idx)
+        if self.for_training:
+            batch["labels"] = self.labels[idx]
+        else:
+            batch["label_dicts"] = self.reader.read_label_dicts(idx)
+            batch["ids"] = self.reader.read_ids(idx)
+        return batch
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_depth)
+        stop = object()
+
+        def producer():
+            try:
+                for idx in self._index_batches():
+                    q.put(self._make_batch(idx))
+            except BaseException as e:  # surface errors to the consumer
+                q.put(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        if self.for_training:
+            self.epoch += 1

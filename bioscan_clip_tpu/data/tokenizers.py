@@ -118,9 +118,17 @@ def tokenize_labels_bert_small(strings, max_length: int = 20):
     Returns dict of (N, max_length) int32 arrays:
     input_ids / token_type_ids / attention_mask.
     """
+    import os
+
     from transformers import AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained("prajjwal1/bert-small")
+    # Default to the local cache: zero-egress environments would otherwise
+    # burn minutes in HF retry backoff. Set BIOSCAN_CLIP_TPU_ALLOW_DOWNLOAD=1
+    # to fetch on a connected machine.
+    allow_dl = os.environ.get("BIOSCAN_CLIP_TPU_ALLOW_DOWNLOAD") == "1"
+    tok = AutoTokenizer.from_pretrained(
+        "prajjwal1/bert-small", local_files_only=not allow_dl
+    )
     enc = tok(
         list(strings),
         padding="max_length",

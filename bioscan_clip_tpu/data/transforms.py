@@ -1,0 +1,207 @@
+"""Device-side (XLA) image preprocessing — torchvision-semantics transforms
+that run batched on TPU, fused into the same jit as the encoder forward.
+
+Reference pipeline (bioscanclip/util/dataset.py:153-206):
+- train: ToTensor -> Resize(256, antialias) -> RandomResizedCrop(224) ->
+  RandomHorizontalFlip -> RandomVerticalFlip -> RandomRotation(±45°).
+- eval:  ToTensor -> Resize(256, antialias) -> CenterCrop(224).
+- the non-OpenCLIP path has NO Normalize; the OpenCLIP path adds CLIP
+  mean/std.
+
+The reference does JPEG decode + all transforms per-sample on CPU workers
+(PIL/torchvision C++); here the host only decodes to uint8 and the rest is
+batched XLA: bilinear+antialias resize (same triangle filter torchvision
+uses in tensor mode), exact center/flip ops, RandomResizedCrop implemented
+as `scale_and_translate` (crop+resize fused in one pass), and
+nearest-neighbor ±45° rotation (torchvision RandomRotation default
+interpolation is NEAREST with zero fill). Eval-path semantics — the
+checkpoint-parity path — are deterministic and exact up to resize-filter
+implementation; train-path randomness is distributionally equivalent.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def resize_shorter_side(images, size: int = 256, method: str = "bilinear"):
+    """torchvision Resize(size, antialias=True) parity: scale so the shorter
+    side == size, keep aspect (rounded like torchvision: round)."""
+    B, H, W, C = images.shape
+    if H <= W:
+        new_h, new_w = size, max(1, int(round(size * W / H)))
+    else:
+        new_h, new_w = max(1, int(round(size * H / W))), size
+    return jax.image.resize(
+        images, (B, new_h, new_w, C), method=method, antialias=True
+    )
+
+
+def center_crop(images, size: int = 224):
+    B, H, W, C = images.shape
+    top = (H - size) // 2 if H >= size else 0
+    left = (W - size) // 2 if W >= size else 0
+    if H < size or W < size:  # torchvision pads; BIOSCAN never hits this
+        pad_h = max(size - H, 0)
+        pad_w = max(size - W, 0)
+        images = jnp.pad(
+            images,
+            ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+             (pad_w // 2, pad_w - pad_w // 2), (0, 0)),
+        )
+        B, H, W, C = images.shape
+        top = (H - size) // 2
+        left = (W - size) // 2
+    return jax.lax.dynamic_slice(
+        images, (0, top, left, 0), (B, size, size, images.shape[3])
+    )
+
+
+def _sample_rrc_box(rng, H: int, W: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop.get_params: 10 proposals, first valid
+    wins, else central fallback clamped to the ratio range."""
+    area = H * W
+    k_area, k_ratio, k_i, k_j, = jax.random.split(rng, 4)
+    ta = area * jax.random.uniform(
+        k_area, (10,), minval=scale[0], maxval=scale[1]
+    )
+    log_r = jax.random.uniform(
+        k_ratio, (10,),
+        minval=math.log(ratio[0]), maxval=math.log(ratio[1]),
+    )
+    r = jnp.exp(log_r)
+    w = jnp.round(jnp.sqrt(ta * r)).astype(jnp.int32)
+    h = jnp.round(jnp.sqrt(ta / r)).astype(jnp.int32)
+    valid = (w > 0) & (w <= W) & (h > 0) & (h <= H)
+    # first valid proposal (argmax returns first True)
+    any_valid = valid.any()
+    sel = jnp.argmax(valid)
+    w_s = w[sel]
+    h_s = h[sel]
+    u_i = jax.random.uniform(k_i, ())
+    u_j = jax.random.uniform(k_j, ())
+    i_s = jnp.floor(u_i * (H - h_s + 1).astype(jnp.float32)).astype(jnp.int32)
+    j_s = jnp.floor(u_j * (W - w_s + 1).astype(jnp.float32)).astype(jnp.int32)
+
+    # fallback: central crop clamped to ratio (torchvision else-branch)
+    in_ratio = W / H
+    if in_ratio < ratio[0]:
+        w_f, h_f = W, int(round(W / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h_f, w_f = H, int(round(H * ratio[1]))
+    else:
+        w_f, h_f = W, H
+    i_f, j_f = (H - h_f) // 2, (W - w_f) // 2
+
+    i = jnp.where(any_valid, i_s, i_f)
+    j = jnp.where(any_valid, j_s, j_f)
+    h = jnp.where(any_valid, h_s, h_f)
+    w = jnp.where(any_valid, w_s, w_f)
+    return i, j, h, w
+
+
+def _crop_resize_one(image, box, out_size: int):
+    """Bilinear+antialias resize of box (i, j, h, w) to (out, out) via
+    scale_and_translate (fused crop+resize)."""
+    i, j, h, w = box
+    H, W, C = image.shape
+    sy = out_size / h.astype(jnp.float32)
+    sx = out_size / w.astype(jnp.float32)
+    # map input coord i -> output 0: translation = -i * scale
+    out = jax.image.scale_and_translate(
+        image,
+        (out_size, out_size, C),
+        (0, 1),
+        jnp.stack([sy, sx]),
+        jnp.stack([-i.astype(jnp.float32) * sy, -j.astype(jnp.float32) * sx]),
+        method="linear",
+        antialias=True,
+    )
+    return out
+
+
+def random_resized_crop(images, rng, out_size: int = 224):
+    B, H, W, C = images.shape
+    rngs = jax.random.split(rng, B)
+    boxes = jax.vmap(lambda r: _sample_rrc_box(r, H, W))(rngs)
+    return jax.vmap(
+        lambda im, i, j, h, w: _crop_resize_one(im, (i, j, h, w), out_size)
+    )(images, *boxes)
+
+
+def random_flips(images, rng):
+    B = images.shape[0]
+    kh, kv = jax.random.split(rng)
+    do_h = jax.random.uniform(kh, (B, 1, 1, 1)) < 0.5
+    do_v = jax.random.uniform(kv, (B, 1, 1, 1)) < 0.5
+    flipped_h = images[:, :, ::-1, :]
+    images = jnp.where(do_h, flipped_h, images)
+    flipped_v = images[:, ::-1, :, :]
+    return jnp.where(do_v, flipped_v, images)
+
+
+def random_rotation(images, rng, degrees: float = 45.0):
+    """torchvision RandomRotation((-45, 45)): per-sample angle, NEAREST
+    interpolation, expand=False, zero fill, rotation about the center."""
+    B, H, W, C = images.shape
+    angles = jax.random.uniform(
+        rng, (B,), minval=-degrees, maxval=degrees
+    ) * (jnp.pi / 180.0)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+
+    def rot_one(im, a):
+        cos, sin = jnp.cos(a), jnp.sin(a)
+        # inverse mapping: output (y, x) samples input coords
+        sy = cy + (yy - cy) * cos + (xx - cx) * sin
+        sx = cx - (yy - cy) * sin + (xx - cx) * cos
+        iy = jnp.round(sy).astype(jnp.int32)
+        ix = jnp.round(sx).astype(jnp.int32)
+        inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        iy = jnp.clip(iy, 0, H - 1)
+        ix = jnp.clip(ix, 0, W - 1)
+        out = im[iy, ix]
+        return jnp.where(inb[..., None], out, 0.0)
+
+    return jax.vmap(rot_one)(images, angles)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("size", "resize_to", "normalize")
+)
+def eval_transform(images_u8, size: int = 224, resize_to: int = 256,
+                   normalize: bool = False):
+    """ToTensor -> Resize(256) -> CenterCrop(224) [-> CLIP Normalize]."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = resize_shorter_side(x, resize_to)
+    x = center_crop(x, size)
+    if normalize:
+        x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("size", "resize_to", "normalize")
+)
+def train_transform(images_u8, rng, size: int = 224, resize_to: int = 256,
+                    normalize: bool = False):
+    """ToTensor -> Resize(256) -> RandomResizedCrop(224) -> HFlip -> VFlip ->
+    RandomRotation(±45) [OpenCLIP path: Normalize before the flips, matching
+    dataset.py:156-168 ordering]."""
+    k_crop, k_flip, k_rot = jax.random.split(rng, 3)
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = resize_shorter_side(x, resize_to)
+    x = random_resized_crop(x, k_crop, size)
+    if normalize:
+        x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    x = random_flips(x, k_flip)
+    x = random_rotation(x, k_rot)
+    return x

@@ -31,13 +31,36 @@ from bioscan_clip_tpu.parallel.mesh import (
 LOGIT_SCALE = 1.0 / 0.07  # fixed temperature (train_cl.py:190)
 
 
-def make_train_step(model, mesh, logit_scale: float = LOGIT_SCALE):
-    """Build the jitted train step for a MultiModalCLIP model on `mesh`."""
+DEVICE_BATCH_KEYS = ("image", "image_u8", "dna", "language", "labels")
+
+
+def device_batch(batch: dict) -> dict:
+    """Select the array-valued keys that go to device (label_dicts/ids are
+    host-side metadata for eval)."""
+    return {k: batch[k] for k in DEVICE_BATCH_KEYS if k in batch}
+
+
+def make_train_step(
+    model, mesh, logit_scale: float = LOGIT_SCALE, openclip_norm: bool = False
+):
+    """Build the jitted train step for a MultiModalCLIP model on `mesh`.
+
+    If the batch ships raw `image_u8` pixels, the torchvision-parity train
+    augmentation (data/transforms.py) runs on device inside this same jit —
+    fused with the forward, no extra HBM round trip.
+    """
+    from bioscan_clip_tpu.data.transforms import train_transform
 
     def loss_fn(params, batch, dropout_rng):
+        image = batch.get("image")
+        if image is None and "image_u8" in batch:
+            aug_rng, dropout_rng = jax.random.split(dropout_rng)
+            image = train_transform(
+                batch["image_u8"], aug_rng, normalize=openclip_norm
+            )
         img, dna, txt = model.apply(
             {"params": params},
-            image_input=batch.get("image"),
+            image_input=image,
             dna_input=batch.get("dna"),
             language_input=batch.get("language"),
             deterministic=False,
@@ -64,9 +87,12 @@ def make_train_step(model, mesh, logit_scale: float = LOGIT_SCALE):
     return train_step
 
 
-def make_embed_step(model, mesh, modality: str):
+def make_embed_step(model, mesh, modality: str, openclip_norm: bool = False):
     """Jitted inference step for one modality -> normalized (B, D) embeddings
-    (the hot loop of get_feature_and_label, inference_epoch.py:8-68)."""
+    (the hot loop of get_feature_and_label, inference_epoch.py:8-68). uint8
+    image batches get the deterministic eval transform on device
+    (Resize 256 -> CenterCrop 224, dataset.py:194-200)."""
+    from bioscan_clip_tpu.data.transforms import eval_transform
 
     method = {
         "image": model.encode_image,
@@ -74,13 +100,64 @@ def make_embed_step(model, mesh, modality: str):
         "language": model.encode_language,
     }[modality]
 
-    @functools.partial(jax.jit, out_shardings=batch_sharding(mesh))
+    @jax.jit
     def embed(params, inputs):
+        if modality == "image" and inputs.dtype == jnp.uint8:
+            inputs = eval_transform(inputs, normalize=openclip_norm)
         return model.apply(
             {"params": params}, inputs, deterministic=True, method=method
         )
 
     return embed
+
+
+def extract_features(
+    state_params, model, mesh, dataloader, modalities=("language", "dna", "image"),
+    for_key_set: bool = False, openclip_norm: bool = False,
+):
+    """Full-split feature extraction -> split dict (the reference's
+    get_features_and_label, inference_and_eval.py:734-783: one pass per
+    modality over the dataloader, L2-normalized outputs, label dicts and
+    ids collected host-side)."""
+    import numpy as np
+
+    from bioscan_clip_tpu.retrieval.report import build_split_dict
+
+    steps = {
+        m: make_embed_step(model, mesh, m, openclip_norm=openclip_norm)
+        for m in modalities
+        if getattr(model, f"{'language' if m == 'language' else m}_encoder")
+        is not None
+    }
+    feats = {m: [] for m in steps}
+    label_dicts = []
+    ids = []
+    for batch in dataloader:
+        label_dicts.extend(batch.get("label_dicts", []))
+        ids.extend(batch.get("ids", []))
+        for m, step in steps.items():
+            if m == "image":
+                inp = batch.get("image_u8", batch.get("image"))
+            elif m == "dna":
+                inp = batch.get("dna")
+            else:
+                inp = batch.get("language")
+            if inp is None:
+                continue
+            inp = shard_batch(inp, mesh)
+            feats[m].append(np.asarray(step(state_params, inp)))
+    arrays = {
+        m: (np.concatenate(v, axis=0) if v else None)
+        for m, v in feats.items()
+    }
+    return build_split_dict(
+        image=arrays.get("image"),
+        dna=arrays.get("dna"),
+        language=arrays.get("language"),
+        label_list=label_dicts,
+        file_name_list=ids,
+        for_key_set=for_key_set,
+    )
 
 
 def train_epoch(
@@ -105,7 +182,7 @@ def train_epoch(
     t_start = time.perf_counter()
     n_samples = 0
     for i, batch in enumerate(dataloader):
-        batch = shard_batch(batch, mesh)
+        batch = shard_batch(device_batch(batch), mesh)
         n_samples += int(batch["labels"].shape[0])
         state, loss = train_step(state, batch, rng)
         if (i % log_every == 0 or i < 3) and logger is not None:

@@ -1,0 +1,193 @@
+"""Data pipeline tests over a synthetic schema-compatible HDF5: reader,
+loader iteration, sharding, factories, and the minimum end-to-end slice
+(loader -> model -> retrieval report; loader -> train epoch)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bioscan_clip_tpu.data.dataset import (
+    construct_dataloader,
+    load_bioscan_dataloader_all_small_splits,
+    load_dataloader,
+)
+from bioscan_clip_tpu.data.hdf5 import SplitReader, get_len_dict
+from bioscan_clip_tpu.data.pipeline import BioscanLoader
+from tests.fixtures import SyntheticArgs, build_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "synthetic.hdf5"
+    return build_synthetic_dataset(str(p), n_classes=4, per_class=6)
+
+
+@pytest.fixture(scope="module")
+def args(dataset_path):
+    return SyntheticArgs(dataset_path, batch_size=8)
+
+
+def test_reader_roundtrip(dataset_path):
+    r = SplitReader(str(dataset_path), "val_seen")
+    assert len(r) == 12
+    idx = np.array([5, 0, 7])
+    bufs = r.read_images_bytes(idx)
+    assert all(b[:2] == b"\xff\xd8" for b in bufs)  # JPEG magic
+    toks = r.read_dna_tokens(idx)
+    assert toks.shape == (3, 133) and toks[:, 0].tolist() == [0, 0, 0]
+    labels = r.read_label_dicts(idx)
+    assert set(labels[0].keys()) == {"order", "family", "genus", "species"}
+    lang = r.read_language_tokens(idx)
+    assert lang["input_ids"].shape == (3, 20)
+    # label alignment under unsorted fancy index
+    full = r.read_label_dicts()
+    for pos, i in enumerate(idx):
+        assert labels[pos] == full[i]
+
+
+def test_len_dict(args):
+    d = get_len_dict(args)
+    assert d["no_split_and_seen_train"] == 24
+    assert d["val_seen"] == 12
+
+
+def test_loader_batches(args, dataset_path):
+    loader = construct_dataloader(args, "val_seen")
+    batches = list(loader)
+    assert len(batches) == 2  # 12 / 8 -> 8 + 4 (no drop for eval)
+    b = batches[0]
+    assert b["image_u8"].shape[0] == 8
+    assert b["image_u8"].dtype == np.uint8
+    assert b["image_u8"].shape[3] == 3
+    assert b["dna"].shape == (8, 133)
+    assert b["language"]["input_ids"].shape == (8, 20)
+    assert len(b["label_dicts"]) == 8
+    assert len(b["ids"]) == 8
+    assert batches[1]["image_u8"].shape[0] == 4
+
+
+def test_train_loader_drop_last_and_shuffle(args):
+    loader = construct_dataloader(
+        args, "no_split_and_seen_train", for_pre_train=True, shuffle=True
+    )
+    batches = list(loader)
+    assert len(batches) == 3  # 24/8 full batches, drop_last
+    assert all(b["labels"].shape == (8,) for b in batches)
+    # labels are instance ids (dataset.py:147)
+    all_labels = np.concatenate([b["labels"] for b in batches])
+    assert len(set(all_labels.tolist())) == 24
+    # next epoch shuffles differently
+    batches2 = list(loader)
+    assert not np.array_equal(batches[0]["labels"], batches2[0]["labels"])
+
+
+def test_process_sharding(dataset_path):
+    a = SyntheticArgs(dataset_path, batch_size=4)
+    l0 = construct_dataloader(
+        a, "no_split_and_seen_train", for_pre_train=True,
+        process_index=0, process_count=2,
+    )
+    l1 = construct_dataloader(
+        a, "no_split_and_seen_train", for_pre_train=True,
+        process_index=1, process_count=2,
+    )
+    s0 = np.concatenate([b["labels"] for b in l0])
+    s1 = np.concatenate([b["labels"] for b in l1])
+    assert len(np.intersect1d(s0, s1)) == 0
+    assert len(s0) == len(s1) == 12
+
+
+def test_factories_return_arity(args):
+    out = load_dataloader(args)
+    assert len(out) == 4
+    out9 = load_bioscan_dataloader_all_small_splits(args)
+    assert len(out9) == 9
+    assert out9[8].split == "all_keys"
+
+
+def _tiny_full_model():
+    from bioscan_clip_tpu.models.bert import (
+        BarcodeBertDnaEncoder,
+        BertConfig,
+        BertTextEncoder,
+    )
+    from bioscan_clip_tpu.models.clip import MultiModalCLIP
+    from bioscan_clip_tpu.models.vit import ViT, ViTConfig
+
+    bert_kw = dict(
+        hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+        lora_rank=2, hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    return MultiModalCLIP(
+        image_encoder=ViT(
+            ViTConfig(
+                image_size=224, patch_size=32, hidden_size=32, num_layers=1,
+                num_heads=2, num_classes=32, lora_rank=2,
+            ),
+            dtype=jnp.float32,
+        ),
+        dna_encoder=BarcodeBertDnaEncoder(
+            BertConfig(vocab_size=1027, **bert_kw), output_dim=32,
+            dtype=jnp.float32,
+        ),
+        language_encoder=BertTextEncoder(
+            BertConfig(vocab_size=30522, **bert_kw), output_dim=32,
+            dtype=jnp.float32,
+        ),
+    )
+
+
+def test_end_to_end_extract_and_eval(args):
+    """Minimum end-to-end slice: loaders -> tiny model -> features ->
+    on-device retrieval -> accuracy report (SURVEY.md §7 stage 4)."""
+    from bioscan_clip_tpu.models.clip import init_clip_params
+    from bioscan_clip_tpu.parallel.mesh import create_mesh
+    from bioscan_clip_tpu.retrieval.report import inference_and_print_result
+    from bioscan_clip_tpu.train.loop import extract_features
+
+    model = _tiny_full_model()
+    params = init_clip_params(model, jax.random.PRNGKey(0))
+    mesh = create_mesh(devices=jax.devices()[:1])
+
+    _, seen_loader, unseen_loader, keys_loader = load_dataloader(args)
+    keys = extract_features(params, model, mesh, keys_loader, for_key_set=True)
+    seen = extract_features(params, model, mesh, seen_loader)
+    unseen = extract_features(params, model, mesh, unseen_loader)
+
+    assert keys["encoded_image_feature"].shape == (16, 32)
+    assert keys["all_key_features"].shape == (48, 32)
+    assert len(keys["label_list"]) == 16
+
+    lines = []
+    acc, _, _ = inference_and_print_result(
+        keys, seen, unseen, args=args, k_list=[1, 3, 5], out=lines.append
+    )
+    v = acc["encoded_image_feature"]["encoded_dna_feature"]["seen"][
+        "micro_acc"
+    ][1]["species"]
+    assert 0.0 <= v <= 1.0
+    assert any("micro_acc top-1" in l for l in lines)
+
+
+def test_end_to_end_train_epoch(args):
+    """loaders -> device-side augmentation -> jitted train step -> loss."""
+    from bioscan_clip_tpu.parallel.mesh import create_mesh
+    from bioscan_clip_tpu.train.loop import make_train_step, train_epoch
+    from bioscan_clip_tpu.train.state import create_train_state
+
+    model = _tiny_full_model()
+    from bioscan_clip_tpu.models.clip import init_clip_params
+
+    params = init_clip_params(model, jax.random.PRNGKey(0))
+    state = create_train_state(model, params, lambda s: 1e-3)
+    mesh = create_mesh()  # 8 virtual devices; batch 8 -> 1 per device
+    step = make_train_step(model, mesh)
+    loader, *_ = load_dataloader(args)
+    state, stats = train_epoch(
+        state, step, loader, mesh, jax.random.PRNGKey(0), 0, 1,
+        logger=lambda s: None,
+    )
+    assert int(state.step) == 3
+    assert stats["samples_per_s"] > 0

@@ -1,0 +1,121 @@
+"""Device-side transform tests: torchvision-semantics parity where exact
+(center crop, flips, rotation geometry) and filter-level closeness for
+resize (vs PIL bilinear)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from bioscan_clip_tpu.data import transforms as T
+
+
+def _rand_img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+def test_resize_shorter_side_shapes():
+    x = jnp.asarray(_rand_img(512, 768)[None]).astype(jnp.float32) / 255
+    y = T.resize_shorter_side(x, 256)
+    assert y.shape == (1, 256, 384, 3)
+    x2 = jnp.asarray(_rand_img(768, 512)[None]).astype(jnp.float32) / 255
+    assert T.resize_shorter_side(x2, 256).shape == (1, 384, 256, 3)
+
+
+def test_resize_close_to_pil_bilinear():
+    img = _rand_img(512, 768, seed=1)
+    pil = Image.fromarray(img).resize((384, 256), Image.BILINEAR)
+    ref = np.asarray(pil).astype(np.float32) / 255
+    ours = np.asarray(
+        T.resize_shorter_side(
+            jnp.asarray(img[None]).astype(jnp.float32) / 255, 256
+        )
+    )[0]
+    # different antialias filters; mean error must be small
+    assert np.abs(ours - ref).mean() < 0.01
+
+
+def test_center_crop_exact():
+    img = _rand_img(256, 384, seed=2)
+    x = jnp.asarray(img[None]).astype(jnp.float32)
+    y = np.asarray(T.center_crop(x, 224))[0]
+    top, left = (256 - 224) // 2, (384 - 224) // 2
+    np.testing.assert_array_equal(
+        y, img[top : top + 224, left : left + 224].astype(np.float32)
+    )
+
+
+def test_eval_transform_pipeline():
+    imgs = np.stack([_rand_img(512, 768, seed=i) for i in range(3)])
+    out = np.asarray(T.eval_transform(jnp.asarray(imgs)))
+    assert out.shape == (3, 224, 224, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # deterministic
+    out2 = np.asarray(T.eval_transform(jnp.asarray(imgs)))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_eval_transform_openclip_normalize():
+    imgs = np.stack([_rand_img(256, 256, seed=9)])
+    out = np.asarray(T.eval_transform(jnp.asarray(imgs), normalize=True))
+    assert out.min() < 0  # normalized values go negative
+
+
+def test_train_transform_shapes_and_randomness():
+    imgs = np.stack([_rand_img(256, 384, seed=i) for i in range(4)])
+    a = np.asarray(T.train_transform(jnp.asarray(imgs), jax.random.PRNGKey(0)))
+    b = np.asarray(T.train_transform(jnp.asarray(imgs), jax.random.PRNGKey(1)))
+    assert a.shape == (4, 224, 224, 3)
+    assert np.abs(a - b).max() > 0.01  # different rng -> different augment
+    c = np.asarray(T.train_transform(jnp.asarray(imgs), jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(a, c)  # same rng -> reproducible
+
+
+def test_random_flips_are_exact_flips():
+    imgs = jnp.asarray(
+        np.arange(2 * 4 * 4 * 1, dtype=np.float32).reshape(2, 4, 4, 1)
+    )
+    out = np.asarray(T.random_flips(imgs, jax.random.PRNGKey(3)))
+    src = np.asarray(imgs)
+    for i in range(2):
+        candidates = [
+            src[i],
+            src[i][:, ::-1],
+            src[i][::-1],
+            src[i][::-1, ::-1],
+        ]
+        assert any(np.array_equal(out[i], c) for c in candidates)
+
+
+def test_rotation_zero_angle_identity_and_fill():
+    # zero-degree rotation == identity
+    imgs = jnp.asarray(_rand_img(32, 32, seed=5)[None]).astype(jnp.float32)
+    out = np.asarray(T.random_rotation(imgs, jax.random.PRNGKey(0), degrees=1e-9))
+    np.testing.assert_allclose(out[0], np.asarray(imgs)[0], atol=1e-4)
+    # large rotation fills corners with 0
+    ones = jnp.ones((1, 33, 33, 3))
+
+    def rot(a_deg):
+        # drive the internal path deterministically via a huge degrees range
+        # that collapses to +/- a: use the public fn many times instead
+        return T.random_rotation(ones, jax.random.PRNGKey(1), degrees=45.0)
+
+    out = np.asarray(rot(45.0))[0]
+    assert out.min() == 0.0  # corners outside the source are zero-filled
+    assert out.max() == 1.0
+
+
+def test_rrc_box_sampling_bounds():
+    rngs = jax.random.split(jax.random.PRNGKey(0), 64)
+    boxes = jax.vmap(lambda r: T._sample_rrc_box(r, 256, 384))(rngs)
+    i, j, h, w = (np.asarray(b) for b in boxes)
+    assert (i >= 0).all() and (j >= 0).all()
+    assert ((i + h) <= 256).all() and ((j + w) <= 384).all()
+    ratio = w / h
+    assert (ratio > 0.74).all() and (ratio < 1.36).all()
+    area_frac = (h * w) / (256 * 384)
+    assert (area_frac >= 0.05).all() and (area_frac <= 1.001).all()
