@@ -1,0 +1,177 @@
+"""Contrastive pretraining CLI — the reference's scripts/train_cl.py on TPU.
+
+Usage (reference-compatible override syntax, README.md:129):
+    python -m bioscan_clip_tpu.cli.train_cl 'model_config=NAME' [key=value...]
+
+Differences from the reference by design (SURVEY.md §2.8, §5):
+- one process drives the whole mesh (no mp.spawn/NCCL/port management);
+  gradients are synchronized BY CONSTRUCTION (the reference's default path
+  never all-reduced them);
+- the global-batch gathered InfoNCE is always on (ClipLoss semantics);
+- orbax checkpoints carry full train state (params+opt+step) and resume.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def run(args, max_steps_per_epoch=None, out=print):
+    import jax.numpy as jnp
+
+    from bioscan_clip_tpu.data.dataset import load_dataloader
+    from bioscan_clip_tpu.models.clip import init_clip_params, load_clip_model
+    from bioscan_clip_tpu.parallel.mesh import create_mesh
+    from bioscan_clip_tpu.retrieval.report import inference_and_print_result
+    from bioscan_clip_tpu.train.checkpoint import (
+        load_pretrained_towers,
+        load_pth_into_params,
+        save_checkpoint,
+    )
+    from bioscan_clip_tpu.train.loop import (
+        extract_features,
+        make_train_step,
+        train_epoch,
+    )
+    from bioscan_clip_tpu.train.schedules import build_schedule
+    from bioscan_clip_tpu.train.state import create_train_state
+    from bioscan_clip_tpu.utils.logging import WandbRun
+
+    mc = args.model_config
+    if args.debug_flag:
+        args.activate_wandb = False
+        args.save_inference = False
+        args.save_ckpt = False
+
+    out("Construct dataloader...")
+    if getattr(mc, "dataset", None) == "INSECT":
+        from bioscan_clip_tpu.data.insect import load_insect_dataloader
+
+        (train_loader, train_for_key, val_loader, test_seen_loader,
+         test_unseen_loader) = load_insect_dataloader(args)
+        eval_loaders = None
+    else:
+        train_loader, seen_val, unseen_val, all_keys = load_dataloader(args)
+        eval_loaders = (all_keys, seen_val, unseen_val)
+
+    out("Initialize model...")
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = load_clip_model(args, dtype=dtype)
+    params = init_clip_params(model, jax.random.PRNGKey(0))
+    if getattr(mc, "load_ckpt", True):
+        ckpt = getattr(mc, "ckpt_path", None)
+        if ckpt and os.path.isfile(ckpt):
+            params = load_pth_into_params(ckpt, params, mc.output_dim)
+            out(f"Loaded checkpoint {ckpt}")
+        else:
+            params = load_pretrained_towers(args, params, mc.output_dim)
+
+    steps_per_epoch = len(train_loader)
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    total_steps = steps_per_epoch * mc.epochs
+    schedule = build_schedule(mc, total_steps)
+    disable_lora = bool(getattr(mc, "disable_lora", False))
+    state = create_train_state(model, params, schedule, disable_lora=disable_lora)
+
+    mesh = create_mesh(getattr(args, "tpu", {}).get("mesh_shape")
+                       if hasattr(args, "tpu") else None)
+    train_step = make_train_step(
+        model, mesh,
+        openclip_norm=bool(getattr(mc, "for_open_clip", False)),
+    )
+
+    wandb_run = WandbRun(
+        getattr(mc, "wandb_project_name", "BIOSCAN-CLIP-TPU"),
+        getattr(mc, "model_output_name", "run"),
+        activate=bool(getattr(args, "activate_wandb", False)),
+    )
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
+    folder = os.path.join(
+        args.project_root_path, args.model_output_dir,
+        mc.model_output_name, stamp,
+    )
+    if args.save_ckpt:
+        os.makedirs(folder, exist_ok=True)
+        from bioscan_clip_tpu.config.core import save_config
+
+        save_config(args, os.path.join(folder, "config.yaml"))
+
+    best_acc = None
+    best_epoch = None
+    rng = jax.random.PRNGKey(42)
+    k_list = [1, 3, 5]
+    out("training...")
+    for epoch in range(mc.epochs):
+        loader = train_loader
+        if max_steps_per_epoch:
+            import itertools
+
+            loader = itertools.islice(iter(train_loader), max_steps_per_epoch)
+        state, stats = train_epoch(
+            state, train_step, loader, mesh, rng, epoch, mc.epochs,
+            logger=out, wandb_run=wandb_run,
+        )
+        out(
+            f"epoch {epoch}: {stats['samples_per_s']:.1f} samples/s, "
+            f"{stats['epoch_time_s']:.1f}s"
+        )
+
+        eval_now = (
+            epoch % mc.evaluation_period == 0 or epoch == mc.epochs - 1
+        )
+        if not eval_now:
+            continue
+        if args.save_ckpt:
+            save_checkpoint(folder, state, name="last")
+            out(f"Last ckpt: {folder}/last")
+        if eval_loaders is None:
+            continue
+        all_keys, seen_val, unseen_val = eval_loaders
+        keys_dict = extract_features(
+            state.params, model, mesh, all_keys, for_key_set=True
+        )
+        seen_dict = extract_features(state.params, model, mesh, seen_val)
+        unseen_dict = extract_features(state.params, model, mesh, unseen_val)
+        acc_dict, _, _ = inference_and_print_result(
+            keys_dict, seen_dict, unseen_dict, args=args, k_list=k_list,
+            mesh=mesh, out=out,
+        )
+        # model selection: mean of seen/unseen image->image top-1 species
+        # micro acc (train_cl.py:231)
+        try:
+            e = acc_dict["encoded_image_feature"]["encoded_image_feature"]
+            overall = (
+                e["seen"]["micro_acc"][1]["species"]
+                + e["unseen"]["micro_acc"][1]["species"]
+            ) / 2
+        except KeyError:
+            overall = 0.0
+        if best_acc is None or overall > best_acc:
+            best_acc, best_epoch = overall, epoch
+            if args.save_ckpt:
+                save_checkpoint(folder, state, name="best")
+                out(f"Best ckpt: {folder}/best")
+        wandb_run.log(
+            {"overall_acc": overall, "best_epoch": best_epoch, "epoch": epoch}
+        )
+    wandb_run.finish()
+    return state, best_acc
+
+
+def main(argv=None):
+    from bioscan_clip_tpu.config.core import load_config
+
+    argv = argv if argv is not None else sys.argv[1:]
+    args = load_config(overrides=list(argv))
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()

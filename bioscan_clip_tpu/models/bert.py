@@ -105,7 +105,7 @@ class BertLayer(nn.Module):
             y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.ln_eps, name="attn_ln", dtype=jnp.float32)(
             x + y
-        )
+        ).astype(self.dtype)
 
         y = nn.Dense(c.intermediate_size, dtype=self.dtype, name="inter")(x)
         y = jax.nn.gelu(y, approximate=False)  # HF 'gelu' is exact erf
@@ -114,7 +114,7 @@ class BertLayer(nn.Module):
             y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.ln_eps, name="out_ln", dtype=jnp.float32)(
             x + y
-        )
+        ).astype(self.dtype)
         return (x, attn_bias), None
 
 
