@@ -174,6 +174,73 @@ def random_rotation(images, rng, degrees: float = 45.0):
     return jax.vmap(rot_one)(images, angles)
 
 
+def _rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    c = maxc - minc
+    s = jnp.where(maxc > 0, c / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_c = jnp.maximum(c, 1e-12)
+    rc = (maxc - r) / safe_c
+    gc = (maxc - g) / safe_c
+    bc = (maxc - b) / safe_c
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(c > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def color_jitter(images, rng, brightness=0.5, contrast=0.5, saturation=0.5,
+                 hue=0.5):
+    """torchvision ColorJitter(0.5, 0.5, 0.5, 0.5) semantics (the INSECT
+    train transform, dataset_for_insect_dataset.py:116-118): per-sample
+    factors, brightness/contrast/saturation as blends, hue as an HSV shift.
+    torchvision randomizes the op order; we apply a fixed order (b, c, s, h)
+    — distributionally equivalent for training."""
+    B = images.shape[0]
+    kb, kc, ks, kh = jax.random.split(rng, 4)
+    fb = jax.random.uniform(
+        kb, (B, 1, 1, 1), minval=max(0, 1 - brightness), maxval=1 + brightness
+    )
+    fc = jax.random.uniform(
+        kc, (B, 1, 1, 1), minval=max(0, 1 - contrast), maxval=1 + contrast
+    )
+    fs = jax.random.uniform(
+        ks, (B, 1, 1, 1), minval=max(0, 1 - saturation), maxval=1 + saturation
+    )
+    fh = jax.random.uniform(kh, (B, 1, 1), minval=-hue, maxval=hue)
+
+    def to_gray(z):
+        return (
+            0.2989 * z[..., 0] + 0.587 * z[..., 1] + 0.114 * z[..., 2]
+        )[..., None]
+
+    x = jnp.clip(images * fb, 0, 1)
+    mean_gray = to_gray(x).mean(axis=(1, 2), keepdims=True)
+    x = jnp.clip(mean_gray + fc * (x - mean_gray), 0, 1)
+    gray = to_gray(x)
+    x = jnp.clip(gray + fs * (x - gray), 0, 1)
+    hsv = _rgb_to_hsv(x)
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + fh) % 1.0)
+    return jnp.clip(_hsv_to_rgb(hsv), 0, 1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("size", "resize_to", "normalize")
 )

@@ -59,3 +59,26 @@ def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch (pytree of arrays) sharded over `data`."""
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def shard_batch_padded(batch, mesh: Mesh):
+    """Like shard_batch but pads the leading dim up to a multiple of the
+    device count (repeating the last row) so uneven eval tails shard.
+    Returns (sharded_batch, original_batch_size) — callers trim outputs
+    back to the original size."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    leaves = jax.tree.leaves(batch)
+    n = leaves[0].shape[0]
+    rem = n % n_dev
+    if rem:
+        pad = n_dev - rem
+
+        def _pad(x):
+            reps = np.concatenate(
+                [np.asarray(x), np.repeat(np.asarray(x[-1:]), pad, axis=0)],
+                axis=0,
+            )
+            return reps
+
+        batch = jax.tree.map(_pad, batch)
+    return shard_batch(batch, mesh), n

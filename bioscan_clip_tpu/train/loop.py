@@ -144,8 +144,10 @@ def extract_features(
                 inp = batch.get("language")
             if inp is None:
                 continue
-            inp = shard_batch(inp, mesh)
-            feats[m].append(np.asarray(step(state_params, inp)))
+            from bioscan_clip_tpu.parallel.mesh import shard_batch_padded
+
+            inp, n = shard_batch_padded(inp, mesh)
+            feats[m].append(np.asarray(step(state_params, inp))[:n])
     arrays = {
         m: (np.concatenate(v, axis=0) if v else None)
         for m, v in feats.items()
