@@ -116,6 +116,17 @@ class BioscanLoader:
         if for_training and labels is None:
             self.labels = np.arange(self.n, dtype=np.int64)
         self._pool = ThreadPoolExecutor(max_workers=decode_threads)
+        # native decode pool (C++/libjpeg) when built; falls back to the
+        # cv2/PIL thread pool otherwise
+        self._native_hw = None
+        self._use_native = False
+        if with_image and host_resize_to:
+            try:
+                from bioscan_clip_tpu.data import native_io
+
+                self._use_native = native_io.available()
+            except Exception:
+                self._use_native = False
 
     def __len__(self):
         per_proc = self.n // self.process_count if self.drop_last else self.n
@@ -140,9 +151,43 @@ class BioscanLoader:
         if not self.drop_last and n_full * bs < len(idx):
             yield idx[n_full * bs :]
 
+    def _native_out_hw(self, first_buf) -> tuple:
+        """Fixed output slot for the native decoder: the shorter-side-resized
+        dims of the first image (BIOSCAN images share one aspect ratio, so
+        this keeps every pixel; odd aspect outliers get edge-padded)."""
+        if self._native_hw is None:
+            im = _decode_jpeg(first_buf)
+            h, w = im.shape[:2]
+            s = self.host_resize_to
+            # the native path's edge (libjpeg DCT scaling, no full-res
+            # decode) only exists when downscaling; tiny sources upscale
+            # faster through SIMD cv2
+            if min(h, w) < s:
+                self._use_native = False
+            if h <= w:
+                self._native_hw = (s, max(1, int(round(s * w / h))))
+            else:
+                self._native_hw = (max(1, int(round(s * h / w))), s)
+        return self._native_hw
+
     def _make_batch(self, idx) -> dict:
         batch = {}
-        if self.with_image:
+        if self.with_image and self._use_native:
+            from bioscan_clip_tpu.data import native_io
+
+            bufs = self.reader.read_images_bytes(idx)
+            out_h, out_w = self._native_out_hw(bufs[0])
+            if self._use_native:  # may have been demoted by the probe above
+                try:
+                    batch["image_u8"] = native_io.decode_batch(
+                        bufs, target_short=self.host_resize_to,
+                        out_h=out_h, out_w=out_w,
+                        threads=self.decode_threads,
+                    )
+                except ValueError:
+                    # corrupt image: python fallback
+                    self._use_native = False
+        if self.with_image and "image_u8" not in batch:
             bufs = self.reader.read_images_bytes(idx)
             imgs = list(self._pool.map(_decode_jpeg, bufs))
             if self.host_resize_to:

@@ -1,0 +1,85 @@
+"""Native JPEG decode pool tests (skipped when the .so isn't built)."""
+
+import numpy as np
+import pytest
+
+from tests.fixtures import build_synthetic_dataset, make_jpeg, SyntheticArgs
+
+native_io = pytest.importorskip("bioscan_clip_tpu.data.native_io")
+
+pytestmark = pytest.mark.skipif(
+    not native_io.available(), reason="libbscan_io.so not built"
+)
+
+
+def test_decode_batch_shapes():
+    bufs = [make_jpeg((i * 30 % 255, 80, 80), size=(96, 64), seed=i) for i in range(7)]
+    out = native_io.decode_batch(bufs, target_short=48, out_h=48, out_w=72)
+    assert out.shape == (7, 48, 72, 3)
+    assert out.dtype == np.uint8
+    assert out.std() > 0
+
+
+def test_decode_close_to_pil():
+    import io
+
+    from PIL import Image
+
+    buf = make_jpeg((180, 60, 60), size=(768, 512), seed=3)
+    out = native_io.decode_batch([buf], target_short=256, out_h=256, out_w=384)
+    ref = np.asarray(
+        Image.open(io.BytesIO(buf)).resize((384, 256), Image.BILINEAR)
+    )
+    diff = np.abs(out[0].astype(int) - ref.astype(int))
+    assert diff.mean() < 3.0  # DCT-scaled decode differs slightly from PIL
+
+
+def test_corrupt_jpeg_raises():
+    with pytest.raises(ValueError, match="index 1"):
+        native_io.decode_batch(
+            [make_jpeg((1, 2, 3), seed=0), b"garbage"], target_short=32,
+            out_h=32, out_w=32,
+        )
+
+
+def test_loader_demotes_native_for_upscale(tmp_path):
+    """Tiny sources (64x48 < 256) upscale faster through cv2; the loader
+    probes the first image and demotes the native path."""
+    from bioscan_clip_tpu.data.dataset import construct_dataloader
+
+    p = str(tmp_path / "n.hdf5")
+    build_synthetic_dataset(p, n_classes=2, per_class=4)
+    args = SyntheticArgs(p, batch_size=4)
+    loader = construct_dataloader(args, "val_seen")
+    assert loader._use_native  # optimistic until the first-image probe
+    b = next(iter(loader))
+    assert not loader._use_native
+    assert b["image_u8"].shape[1] == 256
+    assert b["image_u8"].dtype == np.uint8
+
+
+def test_loader_native_path_on_downscale(tmp_path):
+    """Realistic 768x512 sources keep the native decode path."""
+    import h5py
+
+    from bioscan_clip_tpu.data.hdf5 import write_split_hdf5
+    from bioscan_clip_tpu.data.pipeline import BioscanLoader
+
+    n = 6
+    rec = {
+        "images": [
+            make_jpeg((120, 60, 60), size=(768, 512), seed=i)
+            for i in range(n)
+        ],
+        "barcode": ["ACGT" * 30] * n,
+        "order": ["o"] * n,
+        "family": ["f"] * n,
+        "genus": ["g"] * n,
+        "species": ["s"] * n,
+    }
+    p = str(tmp_path / "big.hdf5")
+    write_split_hdf5(p, {"val_seen": rec})
+    loader = BioscanLoader(p, "val_seen", batch_size=3)
+    b = next(iter(loader))
+    assert loader._use_native
+    assert b["image_u8"].shape == (3, 256, 384, 3)
