@@ -1,0 +1,166 @@
+"""Pallas TPU kernel: fused similarity + exact top-k retrieval.
+
+The XLA path (retrieval/engine.py) materializes a (Bq, key_chunk) score
+block in HBM per scan step and runs lax.top_k over (Bq, chunk + k). This
+kernel fuses the MXU matmul with the top-k maintenance entirely in VMEM:
+
+  grid = (num_key_tiles,)  -- sequential on TPU, so VMEM scratch carries the
+  running (values, indices) top-k across tiles:
+    S = Q @ K_tile.T                       (MXU, f32 accumulate)
+    C = concat([running_vals, S], axis=1)  (Bq, k + T)
+    for j in range(k):                     (k iterative max-extractions)
+        m, a = max/argmax over lanes       (VPU reductions)
+        record m into new running top-k, mask column a to -inf
+
+k passes over the tile cost k*Bq*T VPU flops vs 2*Bq*T*D MXU flops for the
+matmul — <1% overhead at D=768, so the kernel runs at matmul speed with
+zero HBM traffic for scores.
+
+Padding keys are masked by global index >= n_valid (scores -> -inf).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = float("-inf")
+
+
+def _topk_kernel(n_valid_ref, q_ref, k_ref, vals_out, idx_out,
+                 run_vals, run_idx, *, k: int, tile: int):
+    t = pl.program_id(1)  # key-tile index (inner, sequential)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _init():
+        run_vals[:] = jnp.full_like(run_vals, NEG)
+        run_idx[:] = jnp.zeros_like(run_idx)
+
+    q = q_ref[:]  # (Bq, D)
+    kt = k_ref[:]  # (T, D)
+    s = jax.lax.dot_general(
+        q, kt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Bq, T)
+
+    base = t * tile
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+    s = jnp.where(col_idx < n_valid_ref[0], s, NEG)
+
+    # candidates: running top-k ++ this tile
+    cand_vals = jnp.concatenate([run_vals[:], s], axis=1)  # (Bq, k+T)
+    cand_idx = jnp.concatenate([run_idx[:], col_idx], axis=1)
+
+    new_vals = jnp.zeros_like(run_vals)
+    new_idx = jnp.zeros_like(run_idx)
+    lane = jax.lax.broadcasted_iota(jnp.int32, cand_vals.shape, 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, run_vals.shape, 1)
+    for j in range(k):
+        m = jnp.max(cand_vals, axis=1, keepdims=True)  # (Bq, 1)
+        a = jnp.argmax(cand_vals, axis=1)  # (Bq,)
+        sel = lane == a[:, None]  # one-hot over lanes
+        # gather-free index pick: masked sum over the one-hot selection
+        picked_idx = jnp.sum(
+            jnp.where(sel, cand_idx, 0), axis=1, keepdims=True
+        )  # (Bq, 1)
+        # scatter-free column write: lane-mask select into slot j
+        new_vals = jnp.where(out_lane == j, m, new_vals)
+        new_idx = jnp.where(out_lane == j, picked_idx, new_idx)
+        cand_vals = jnp.where(sel, NEG, cand_vals)  # mask the selected col
+
+    run_vals[:] = new_vals
+    run_idx[:] = new_idx
+
+    @pl.when(t == n_tiles - 1)
+    def _emit():
+        vals_out[:] = run_vals[:]
+        idx_out[:] = run_idx[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "q_block", "interpret")
+)
+def pallas_topk(queries, keys, n_valid, k: int = 5, tile: int = 512,
+                q_block: int = 256, interpret: bool = False):
+    """Exact top-k of queries @ keys.T.
+
+    queries: (Bq, D) f32 with Bq % q_block == 0; keys: (N, D) f32 with
+    N % tile == 0 (callers pad; rows >= n_valid are masked).
+    Grid = (query blocks, key tiles): the key-tile axis is innermost so the
+    VMEM running top-k scratch carries across tiles of one query block.
+    Returns (vals (Bq, k), idx (Bq, k))."""
+    Bq, D = queries.shape
+    N = keys.shape[0]
+    assert N % tile == 0, f"keys ({N}) must be padded to tile ({tile})"
+    q_block = min(q_block, Bq)
+    assert Bq % q_block == 0, f"queries ({Bq}) must divide q_block ({q_block})"
+    n_tiles = N // tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bq // q_block, n_tiles),
+        in_specs=[
+            pl.BlockSpec((q_block, D), lambda qi, t, nv: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda qi, t, nv: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_block, k), lambda qi, t, nv: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, k), lambda qi, t, nv: (qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_block, k), jnp.float32),
+            pltpu.VMEM((q_block, k), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_topk_kernel, k=k, tile=tile)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Bq, k), jnp.float32),
+            jax.ShapeDtypeStruct((Bq, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.int32), queries, keys)
+    return vals, idx
+
+
+def topk_search_pallas(query_feature, keys_feature, k: int,
+                       tile: int = 512, query_chunk: int = 1024,
+                       interpret: bool = False):
+    """numpy-in/numpy-out wrapper matching retrieval.engine.topk_search."""
+    q = np.asarray(query_feature, dtype=np.float32)
+    ks = np.asarray(keys_feature, dtype=np.float32)
+    n_keys, d = ks.shape
+    k_eff = min(k, n_keys)
+    n_pad = ((n_keys + tile - 1) // tile) * tile
+    ks_p = np.zeros((n_pad, d), np.float32)
+    ks_p[:n_keys] = ks
+    ks_j = jnp.asarray(ks_p)
+
+    sims = np.empty((q.shape[0], k_eff), np.float32)
+    idxs = np.empty((q.shape[0], k_eff), np.int64)
+    q_block = 256
+    for s in range(0, q.shape[0], query_chunk):
+        qc = q[s : s + query_chunk]
+        nb = qc.shape[0]
+        qb = min(q_block, nb)
+        pad = (-nb) % qb
+        if pad:
+            qc = np.concatenate([qc, np.zeros((pad, d), np.float32)], axis=0)
+        v, i = pallas_topk(jnp.asarray(qc), ks_j, n_keys, k=k_eff, tile=tile,
+                           q_block=qb, interpret=interpret)
+        sims[s : s + nb] = np.asarray(v)[:nb]
+        idxs[s : s + nb] = np.asarray(i, dtype=np.int64)[:nb]
+    return sims, idxs

