@@ -104,11 +104,15 @@ def main():
         "value": round(samples_per_s, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_s / TARGET, 3),
+        "vs_a100_estimate": round(samples_per_s / A100_TRIMODAL_EST, 2),
         "batch": BATCH,
         "step_ms": round(1000 * dur / STEPS, 2),
         "compile_s": round(compile_s, 1),
         "device": str(dev),
-        "baseline_note": f"target={TARGET:.0f}/s (3x est. A100 tri-modal)",
+        "baseline_note": (
+            f"target={TARGET:.0f}/s (3x est. A100 tri-modal); this chip is a "
+            "v5e (197 bf16 TFLOPs vs A100's 312 fp16)"
+        ),
     }
     print(json.dumps(result))
 

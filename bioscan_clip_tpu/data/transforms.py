@@ -39,6 +39,9 @@ def resize_shorter_side(images, size: int = 256, method: str = "bilinear"):
         new_h, new_w = size, max(1, int(round(size * W / H)))
     else:
         new_h, new_w = max(1, int(round(size * H / W))), size
+    if (new_h, new_w) == (H, W):
+        return images  # host pipeline already resized: skip the (costly)
+        # same-size antialias resample
     return jax.image.resize(
         images, (B, new_h, new_w, C), method=method, antialias=True
     )

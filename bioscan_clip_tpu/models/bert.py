@@ -87,11 +87,13 @@ class BertLayer(nn.Module):
         q = q.reshape(B, N, h, hd)
         k = k.reshape(B, N, h, hd)
         v = v.reshape(B, N, h, hd)
+        # scores/softmax in the module compute dtype (see vit.py note);
+        # fp32 modules keep exact fp32 softmax for checkpoint parity.
         attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=self.dtype
         ) * (hd**-0.5)
         if attn_bias is not None:
-            attn = attn + attn_bias  # (B, 1, 1, N) additive mask
+            attn = attn + attn_bias.astype(attn.dtype)  # (B,1,1,N) mask
         attn = jax.nn.softmax(attn, axis=-1)
         if c.attention_dropout > 0:
             attn = nn.Dropout(c.attention_dropout)(

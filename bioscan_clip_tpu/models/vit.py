@@ -76,10 +76,14 @@ class ViTBlock(nn.Module):
         B, N, _ = qkv.shape
         qkv = qkv.reshape(B, N, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # attention scores/softmax run in the module compute dtype: in bf16
+        # mode this halves the HBM traffic of the (B, h, N, N) matrix (the
+        # dominant attention cost at these tiny sequence lengths); fp32
+        # modules (the checkpoint-parity path) keep exact fp32 softmax.
         attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=self.dtype
         ) * (hd**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
         y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, d)
         y = nn.Dense(d, dtype=self.dtype, name="proj")(y)
         x = x + y
