@@ -101,6 +101,44 @@ def load_clip_model(args, dtype=jnp.bfloat16):
     dna_encoder = None
     language_encoder = None
 
+    if (
+        hasattr(mc, "image")
+        and hasattr(mc, "language")
+        and mc.image.model == "lora_clip_image"
+        and mc.language.model == "lora_clip_text"
+    ):
+        # OpenCLIP ViT-L/14 ablation path (simple_clip.py:141-145)
+        from bioscan_clip_tpu.models.openclip import (
+            OpenClipImageTower,
+            OpenClipTextAdapter,
+            OpenClipTextConfig,
+            OpenClipVisionConfig,
+        )
+
+        image_encoder = OpenClipImageTower(
+            dataclasses.replace(
+                OpenClipVisionConfig(), lora_rank=rank, output_dim=output_dim
+            ),
+            dtype=dtype,
+        )
+        language_encoder = OpenClipTextAdapter(
+            dataclasses.replace(
+                OpenClipTextConfig(), lora_rank=rank, output_dim=output_dim
+            ),
+            dtype=dtype,
+        )
+        if hasattr(mc, "dna"):
+            dna_encoder = BarcodeBertDnaEncoder(
+                dataclasses.replace(BARCODE_BERT_CONFIG, lora_rank=rank),
+                output_dim=output_dim,
+                dtype=dtype,
+            )
+        return MultiModalCLIP(
+            image_encoder=image_encoder,
+            dna_encoder=dna_encoder,
+            language_encoder=language_encoder,
+        )
+
     if hasattr(mc, "image"):
         if mc.image.input_type == "image":
             image_encoder = ViT(
@@ -151,9 +189,14 @@ def init_clip_params(model: MultiModalCLIP, rng, batch_size: int = 2):
     """Initialize parameters with dummy inputs for whichever towers exist."""
     from bioscan_clip_tpu.data.tokenizers import SEQ_LEN
 
+    from bioscan_clip_tpu.models.openclip import (
+        OpenClipImageTower,
+        OpenClipTextAdapter,
+    )
+
     kwargs = {}
     if model.image_encoder is not None:
-        if isinstance(model.image_encoder, ViT):
+        if isinstance(model.image_encoder, (ViT, OpenClipImageTower)):
             s = model.image_encoder.cfg.image_size
             kwargs["image_input"] = jnp.zeros((batch_size, s, s, 3), jnp.float32)
         else:
@@ -164,9 +207,18 @@ def init_clip_params(model: MultiModalCLIP, rng, batch_size: int = 2):
         else:
             kwargs["dna_input"] = jnp.zeros((batch_size, 768), jnp.float32)
     if model.language_encoder is not None:
+        seq = (
+            model.language_encoder.cfg.context_length
+            if isinstance(model.language_encoder, OpenClipTextAdapter)
+            else 20
+        )
+        ids = jnp.zeros((batch_size, seq), jnp.int32)
+        if isinstance(model.language_encoder, OpenClipTextAdapter):
+            # EOT pooling needs a nonzero argmax position
+            ids = ids.at[:, 1].set(1)
         kwargs["language_input"] = {
-            "input_ids": jnp.zeros((batch_size, 20), jnp.int32),
-            "token_type_ids": jnp.zeros((batch_size, 20), jnp.int32),
-            "attention_mask": jnp.ones((batch_size, 20), jnp.int32),
+            "input_ids": ids,
+            "token_type_ids": jnp.zeros((batch_size, seq), jnp.int32),
+            "attention_mask": jnp.ones((batch_size, seq), jnp.int32),
         }
     return model.init({"params": rng}, **kwargs, deterministic=True)["params"]

@@ -1,0 +1,284 @@
+"""OpenCLIP-geometry towers (ViT-L/14 ablation path, `for_open_clip`).
+
+Reference behavior (simple_clip.py:36-44, 141-145): the ablation configs
+build open_clip 'ViT-L/14' (commonpool_xl_laion_s13b_b90k) and add LoRA
+(r=4, q/k/v) to every attention via loratorch
+(util.py:309-359, image_encoder.py:119-151). Text is tokenized in-forward
+with the CLIP BPE tokenizer at context length 77.
+
+Flax reimplementation (OpenCLIP module layout):
+- visual: conv1 (14x14, no bias) -> class_embedding + positional_embedding
+  -> ln_pre -> 24 pre-LN blocks (MultiheadAttention packed qkv, MLP 4x,
+  exact GELU) -> ln_post -> CLS @ proj (1024 -> 768);
+- text: token_embedding (49408) + positional_embedding (77) -> 12 blocks
+  with causal mask -> ln_final -> take the EOT position (argmax token id)
+  @ text_projection.
+
+LoRA(q/k/v, rank r) is parameterized the same way as the other towers
+(lora_{q,k,v}_{a,b} on the packed projection slices).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
+
+
+@dataclasses.dataclass(frozen=True)
+class OpenClipVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    output_dim: int = 768
+    lora_rank: int = 4
+    ln_eps: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class OpenClipTextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 768
+    lora_rank: int = 4
+    ln_eps: float = 1e-5
+
+
+class OpenClipBlock(nn.Module):
+    """ResidualAttentionBlock: pre-LN, torch-MultiheadAttention packed qkv,
+    4x MLP with exact GELU. Optional additive attention mask (causal for
+    text)."""
+
+    width: int
+    heads: int
+    lora_rank: int
+    ln_eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, deterministic: bool = True):
+        x, mask = carry
+        d = self.width
+        h = self.heads
+        hd = d // h
+
+        y = nn.LayerNorm(epsilon=self.ln_eps, name="ln_1",
+                         dtype=jnp.float32)(x).astype(self.dtype)
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="in_proj")(y)
+        if self.lora_rank > 0:
+            # LoRA on q, k, v slices (loratorch enable_lora=['q','k','v'])
+            deltas = []
+            for name in ("q", "k", "v"):
+                a = self.param(f"lora_{name}_a", lora_a_init,
+                               (d, self.lora_rank))
+                b = self.param(f"lora_{name}_b", lora_b_init,
+                               (self.lora_rank, d))
+                deltas.append(lora_delta(y, a, b, self.dtype))
+            qkv = qkv + jnp.concatenate(deltas, axis=-1)
+        B, N, _ = qkv.shape
+        qkv = qkv.reshape(B, N, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=self.dtype
+        ) * (hd**-0.5)
+        if mask is not None:
+            attn = attn + mask.astype(attn.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, d)
+        y = nn.Dense(d, dtype=self.dtype, name="out_proj")(y)
+        x = x + y
+
+        y = nn.LayerNorm(epsilon=self.ln_eps, name="ln_2",
+                         dtype=jnp.float32)(x).astype(self.dtype)
+        y = nn.Dense(4 * d, dtype=self.dtype, name="c_fc")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(d, dtype=self.dtype, name="c_proj")(y)
+        return (x + y, mask), None
+
+
+def _scan_blocks(cfg_width, cfg_heads, lora_rank, ln_eps, layers, dtype,
+                 name="resblocks"):
+    return nn.scan(
+        OpenClipBlock,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        length=layers,
+        in_axes=nn.broadcast,
+    )(cfg_width, cfg_heads, lora_rank, ln_eps, dtype, name=name)
+
+
+class OpenClipImageTower(nn.Module):
+    cfg: OpenClipVisionConfig = OpenClipVisionConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, deterministic: bool = True):
+        c = self.cfg
+        x = nn.Conv(
+            c.width, (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size), padding="VALID",
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(images.astype(self.dtype))
+        B = x.shape[0]
+        x = x.reshape(B, -1, c.width)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (c.width,)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, c.width)).astype(self.dtype), x],
+            axis=1,
+        )
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.02),
+            ((c.image_size // c.patch_size) ** 2 + 1, c.width),
+        )
+        x = x + pos.astype(self.dtype)
+        x = nn.LayerNorm(epsilon=c.ln_eps, name="ln_pre",
+                         dtype=jnp.float32)(x).astype(self.dtype)
+        (x, _), _ = _scan_blocks(
+            c.width, c.heads, c.lora_rank, c.ln_eps, c.layers, self.dtype
+        )((x, None), deterministic)
+        x = nn.LayerNorm(epsilon=c.ln_eps, name="ln_post",
+                         dtype=jnp.float32)(x[:, 0])
+        proj = self.param(
+            "proj", nn.initializers.normal(c.width**-0.5),
+            (c.width, c.output_dim),
+        )
+        return jnp.dot(x.astype(self.dtype), proj.astype(self.dtype))
+
+
+class OpenClipTextTower(nn.Module):
+    cfg: OpenClipTextConfig = OpenClipTextConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, token_ids, deterministic: bool = True):
+        """token_ids: (B, 77) int32 CLIP-BPE tokens (EOT = highest id)."""
+        c = self.cfg
+        x = nn.Embed(
+            c.vocab_size, c.width, name="token_embedding", dtype=self.dtype
+        )(token_ids)
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (c.context_length, c.width),
+        )
+        x = x + pos[: x.shape[1]].astype(self.dtype)
+        n = x.shape[1]
+        causal = jnp.triu(
+            jnp.full((n, n), -1e9, jnp.float32), k=1
+        )[None, None]
+        (x, _), _ = _scan_blocks(
+            c.width, c.heads, c.lora_rank, c.ln_eps, c.layers, self.dtype
+        )((x, causal), deterministic)
+        x = nn.LayerNorm(epsilon=c.ln_eps, name="ln_final",
+                         dtype=jnp.float32)(x)
+        # pool at the EOT token (highest token id per row)
+        eot = jnp.argmax(token_ids, axis=-1)
+        pooled = jnp.take_along_axis(
+            x, eot[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        proj = self.param(
+            "text_projection", nn.initializers.normal(c.width**-0.5),
+            (c.width, c.output_dim),
+        )
+        return jnp.dot(pooled.astype(self.dtype), proj.astype(self.dtype))
+
+
+class OpenClipTextAdapter(nn.Module):
+    """Adapts OpenClipTextTower to the MultiModalCLIP language-encoder
+    signature (dict input with input_ids; attention/token-type masks are
+    not used — CLIP text is causal with EOT pooling)."""
+
+    cfg: OpenClipTextConfig = OpenClipTextConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 deterministic: bool = True):
+        return OpenClipTextTower(self.cfg, self.dtype, name="text")(
+            input_ids, deterministic=deterministic
+        )
+
+
+# --------------------------------------------------------------------------
+# torch open_clip state-dict conversion
+# --------------------------------------------------------------------------
+
+def _t(x):
+    import numpy as np
+
+    return np.ascontiguousarray(np.asarray(x).T)
+
+
+def _convert_blocks(sd: dict, prefix: str, layers: int) -> dict:
+    import numpy as np
+
+    cols = {
+        "ln_1": {"scale": [], "bias": []},
+        "in_proj": {"kernel": [], "bias": []},
+        "out_proj": {"kernel": [], "bias": []},
+        "ln_2": {"scale": [], "bias": []},
+        "c_fc": {"kernel": [], "bias": []},
+        "c_proj": {"kernel": [], "bias": []},
+    }
+    for i in range(layers):
+        L = f"{prefix}.resblocks.{i}."
+        cols["ln_1"]["scale"].append(sd[L + "ln_1.weight"])
+        cols["ln_1"]["bias"].append(sd[L + "ln_1.bias"])
+        cols["in_proj"]["kernel"].append(_t(sd[L + "attn.in_proj_weight"]))
+        cols["in_proj"]["bias"].append(sd[L + "attn.in_proj_bias"])
+        cols["out_proj"]["kernel"].append(_t(sd[L + "attn.out_proj.weight"]))
+        cols["out_proj"]["bias"].append(sd[L + "attn.out_proj.bias"])
+        cols["ln_2"]["scale"].append(sd[L + "ln_2.weight"])
+        cols["ln_2"]["bias"].append(sd[L + "ln_2.bias"])
+        cols["c_fc"]["kernel"].append(_t(sd[L + "mlp.c_fc.weight"]))
+        cols["c_fc"]["bias"].append(sd[L + "mlp.c_fc.bias"])
+        cols["c_proj"]["kernel"].append(_t(sd[L + "mlp.c_proj.weight"]))
+        cols["c_proj"]["bias"].append(sd[L + "mlp.c_proj.bias"])
+    return {
+        name: {k: np.stack(v) for k, v in sub.items()}
+        for name, sub in cols.items()
+    }
+
+
+def convert_openclip_visual(sd: dict, layers: int = 24) -> dict:
+    """open_clip `visual.*` keys -> OpenClipImageTower params."""
+    import numpy as np
+
+    v = {k[len("visual."):]: x for k, x in sd.items()
+         if k.startswith("visual.")}
+    params = {
+        "conv1": {"kernel": np.transpose(v["conv1.weight"], (2, 3, 1, 0))},
+        "class_embedding": v["class_embedding"],
+        "positional_embedding": v["positional_embedding"],
+        "ln_pre": {"scale": v["ln_pre.weight"], "bias": v["ln_pre.bias"]},
+        "ln_post": {"scale": v["ln_post.weight"], "bias": v["ln_post.bias"]},
+        "proj": v["proj"],  # stored (width, output_dim) already
+        "resblocks": _convert_blocks(v, "transformer", layers),
+    }
+    return params
+
+
+def convert_openclip_text(sd: dict, layers: int = 12) -> dict:
+    """open_clip text keys (token_embedding/transformer/ln_final/...) ->
+    OpenClipTextTower params."""
+    return {
+        "token_embedding": {"embedding": sd["token_embedding.weight"]},
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": {
+            "scale": sd["ln_final.weight"],
+            "bias": sd["ln_final.bias"],
+        },
+        "text_projection": sd["text_projection"],
+        "resblocks": _convert_blocks(sd, "transformer", layers),
+    }
