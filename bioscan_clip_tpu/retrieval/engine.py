@@ -188,6 +188,23 @@ def topk_search(
     return sims_out, idx_out
 
 
+def find_k_closest_records(
+    input_file_name_list, input_feature_np_array, keys_file_name_list,
+    keys_feature_np_array, k: int = 5, mesh=None,
+):
+    """Retrieval-by-filename helper (util/util.py:159-169): for each input
+    record, the file names of its k nearest keys by inner product."""
+    _, indices = topk_search(
+        np.asarray(input_feature_np_array, np.float32),
+        np.asarray(keys_feature_np_array, np.float32),
+        k, mesh=mesh,
+    )
+    return {
+        input_file_name_list[i]: [keys_file_name_list[j] for j in row]
+        for i, row in enumerate(indices)
+    }
+
+
 def make_prediction(
     query_feature,
     keys_feature,
