@@ -84,6 +84,7 @@ def run(args, max_steps_per_epoch=None, out=print):
     train_step = make_train_step(
         model, mesh,
         openclip_norm=bool(getattr(mc, "for_open_clip", False)),
+        disable_lora=disable_lora,
     )
 
     wandb_run = WandbRun(

@@ -110,33 +110,56 @@ def _sample_rrc_box(rng, H: int, W: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
     return i, j, h, w
 
 
-def _crop_resize_one(image, box, out_size: int):
-    """Bilinear+antialias resize of box (i, j, h, w) to (out, out) via
-    scale_and_translate (fused crop+resize)."""
-    i, j, h, w = box
-    H, W, C = image.shape
-    sy = out_size / h.astype(jnp.float32)
-    sx = out_size / w.astype(jnp.float32)
-    # map input coord i -> output 0: translation = -i * scale
-    out = jax.image.scale_and_translate(
-        image,
-        (out_size, out_size, C),
-        (0, 1),
-        jnp.stack([sy, sx]),
-        jnp.stack([-i.astype(jnp.float32) * sy, -j.astype(jnp.float32) * sx]),
-        method="linear",
-        antialias=True,
+def _interp_weights(starts, sizes, src_extent: int, out_size: int):
+    """Per-sample separable bilinear(+antialias) interpolation matrices.
+
+    Returns (B, out_size, src_extent) weights W with
+    out[o] = sum_h W[o, h] * src[h], equivalent to cropping
+    [start, start+size) and resizing to out_size with a triangle filter
+    (torchvision antialiased bilinear). Built densely and applied as an MXU
+    matmul — per-sample gather/resample kernels are pathologically slow on
+    this TPU backend.
+    """
+    starts = starts.astype(jnp.float32)[:, None]  # (B, 1)
+    sizes = sizes.astype(jnp.float32)[:, None]
+    o = jnp.arange(out_size, dtype=jnp.float32)[None, :]  # (1, out)
+    scale = sizes / out_size  # (B, 1)
+    src = starts + (o + 0.5) * scale - 0.5  # (B, out)
+    support = jnp.maximum(scale, 1.0)  # triangle half-width (antialias)
+    hh = jnp.arange(src_extent, dtype=jnp.float32)[None, None, :]
+    dist = jnp.abs(hh - src[:, :, None]) / support[:, :, None]
+    w = jnp.maximum(0.0, 1.0 - dist)  # (B, out, src)
+    # restrict to the crop window (clamp-at-crop-edge via renormalization)
+    inside = (hh >= starts[:, :, None] - 0.5) & (
+        hh <= (starts + sizes)[:, :, None] - 0.5
     )
-    return out
+    w = jnp.where(inside, w, 0.0)
+    return w / jnp.maximum(w.sum(axis=-1, keepdims=True), 1e-8)
+
+
+def batched_crop_resize(images, boxes, out_size: int):
+    """Crop per-sample boxes (i, j, h, w) and resize to (out, out) as two
+    batched matmuls (separable bilinear + antialias)."""
+    i, j, h, w = boxes
+    B, H, W, C = images.shape
+    wy = _interp_weights(i, h, H, out_size)  # (B, out, H)
+    wx = _interp_weights(j, w, W, out_size)  # (B, out, W)
+    dtype = images.dtype
+    tmp = jnp.einsum(
+        "boh,bhwc->bowc", wy.astype(dtype), images,
+        preferred_element_type=dtype,
+    )
+    return jnp.einsum(
+        "bowc,bpw->bopc", tmp, wx.astype(dtype),
+        preferred_element_type=dtype,
+    )
 
 
 def random_resized_crop(images, rng, out_size: int = 224):
     B, H, W, C = images.shape
     rngs = jax.random.split(rng, B)
     boxes = jax.vmap(lambda r: _sample_rrc_box(r, H, W))(rngs)
-    return jax.vmap(
-        lambda im, i, j, h, w: _crop_resize_one(im, (i, j, h, w), out_size)
-    )(images, *boxes)
+    return batched_crop_resize(images, boxes, out_size)
 
 
 def random_flips(images, rng):
@@ -268,6 +291,9 @@ def train_transform(images_u8, rng, size: int = 224, resize_to: int = 256,
     dataset.py:156-168 ordering]."""
     k_crop, k_flip, k_rot = jax.random.split(rng, 3)
     x = images_u8.astype(jnp.float32) / 255.0
+    # keep the uint8 conversion out of the vmap'd crop-resize kernel: fusing
+    # them makes XLA:TPU emit a pathologically slow gather (observed 1000x)
+    x = jax.lax.optimization_barrier(x)
     x = resize_shorter_side(x, resize_to)
     x = random_resized_crop(x, k_crop, size)
     if normalize:

@@ -41,36 +41,69 @@ def device_batch(batch: dict) -> dict:
 
 
 def make_train_step(
-    model, mesh, logit_scale: float = LOGIT_SCALE, openclip_norm: bool = False
+    model, mesh, logit_scale: float = LOGIT_SCALE,
+    openclip_norm: bool = False, remat: bool = False,
+    disable_lora: bool = False,
 ):
     """Build the jitted train step for a MultiModalCLIP model on `mesh`.
 
     If the batch ships raw `image_u8` pixels, the torchvision-parity train
     augmentation (data/transforms.py) runs on device inside this same jit —
     fused with the forward, no extra HBM round trip.
+
+    `remat=True` wraps each tower in `jax.checkpoint` (recompute activations
+    in the backward, cutting peak HBM). Default off: prefer fitting memory
+    via smaller per-device batches / `make_accum_train_step` — see
+    PERF_NOTES.md for measurements.
     """
     from bioscan_clip_tpu.data.transforms import train_transform
 
+    wrap = jax.checkpoint if remat else (lambda f: f)
+    encoders = {
+        "image": (model.image_encoder, model.encode_image),
+        "dna": (model.dna_encoder, model.encode_dna),
+        "language": (model.language_encoder, model.encode_language),
+    }
+    towers = {
+        name: wrap(
+            functools.partial(
+                lambda p, x, r, _m: model.apply(
+                    {"params": p}, x, deterministic=False,
+                    rngs={"dropout": r}, method=_m,
+                ),
+                _m=method,
+            )
+        )
+        for name, (enc, method) in encoders.items()
+        if enc is not None
+    }
+
     def loss_fn(params, batch, dropout_rng):
+        aug_rng, r_img, r_dna, r_txt = jax.random.split(dropout_rng, 4)
         image = batch.get("image")
         if image is None and "image_u8" in batch:
-            aug_rng, dropout_rng = jax.random.split(dropout_rng)
             image = train_transform(
                 batch["image_u8"], aug_rng, normalize=openclip_norm
             )
-        img, dna, txt = model.apply(
-            {"params": params},
-            image_input=image,
-            dna_input=batch.get("dna"),
-            language_input=batch.get("language"),
-            deterministic=False,
-            rngs={"dropout": dropout_rng},
-        )
+        inputs = {
+            "image": (image, r_img),
+            "dna": (batch.get("dna"), r_dna),
+            "language": (batch.get("language"), r_txt),
+        }
+        embs = {}
+        for name, tower in towers.items():
+            x, r = inputs[name]
+            embs[name] = tower(params, x, r) if x is not None else None
         return multimodal_contrastive_loss(
-            {"image": img, "dna": dna, "language": txt},
-            batch["labels"],
-            logit_scale,
+            embs, batch["labels"], logit_scale
         )
+
+    from bioscan_clip_tpu.train.state import (
+        grads_to_full_tree,
+        merge_partitions,
+        param_labels,
+        partition_params,
+    )
 
     @functools.partial(
         jax.jit,
@@ -79,10 +112,129 @@ def make_train_step(
     )
     def train_step(state, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, dropout_rng
-        )
+        # differentiate only the trainable subset: frozen-weight dW matmuls
+        # never appear in the backward (big win for LoRA training)
+        labels = param_labels(state.params, disable_lora=disable_lora)
+        trainable, frozen = partition_params(state.params, labels)
+
+        def loss_t(tr):
+            return loss_fn(merge_partitions(tr, frozen), batch, dropout_rng)
+
+        loss, g = jax.value_and_grad(loss_t)(trainable)
+        grads = grads_to_full_tree(g, state.params)
         return state.apply_gradients(grads), loss
+
+    return train_step
+
+
+def make_accum_train_step(
+    model, mesh, accum_steps: int, logit_scale: float = LOGIT_SCALE,
+    openclip_norm: bool = False, remat: bool = False,
+    disable_lora: bool = False,
+):
+    """Gradient-accumulation train step: the batch is split into
+    `accum_steps` microbatches scanned sequentially; gradients are averaged
+    before one optimizer update.
+
+    NOTE on loss semantics: the InfoNCE negatives come from each
+    *microbatch* (the reference's default per-rank ContrastiveLoss
+    semantics, loss_func.py:29-54), not the full accumulated batch —
+    matching global-batch negatives under accumulation would require
+    embedding caching (GradCache), a future extension. Use this on a single
+    chip when the full per-device batch exceeds compile/memory limits;
+    on a pod slice prefer plain `make_train_step` (per-device batches are
+    small and negatives stay global via the sharded loss).
+    """
+    from bioscan_clip_tpu.data.transforms import train_transform
+
+    def split_batch(batch, n):
+        def sp(x):
+            return x.reshape((n, x.shape[0] // n) + x.shape[1:])
+
+        return jax.tree.map(sp, batch)
+
+    wrap = jax.checkpoint if remat else (lambda f: f)
+    towers = {}
+    for name, method in (
+        ("image", model.encode_image),
+        ("dna", model.encode_dna),
+        ("language", model.encode_language),
+    ):
+        enc = getattr(model, f"{name}_encoder")
+        if enc is not None:
+            towers[name] = wrap(
+                functools.partial(
+                    lambda p, x, r, _m: model.apply(
+                        {"params": p}, x, deterministic=False,
+                        rngs={"dropout": r}, method=_m,
+                    ),
+                    _m=method,
+                )
+            )
+
+    def loss_fn(params, mb, dropout_rng):
+        aug_rng, r_img, r_dna, r_txt = jax.random.split(dropout_rng, 4)
+        image = mb.get("image")
+        if image is None and "image_u8" in mb:
+            image = train_transform(
+                mb["image_u8"], aug_rng, normalize=openclip_norm
+            )
+        inputs = {
+            "image": (image, r_img),
+            "dna": (mb.get("dna"), r_dna),
+            "language": (mb.get("language"), r_txt),
+        }
+        embs = {
+            n: (t(params, *inputs[n]) if inputs[n][0] is not None else None)
+            for n, t in towers.items()
+        }
+        return multimodal_contrastive_loss(embs, mb["labels"], logit_scale)
+
+    from bioscan_clip_tpu.train.state import (
+        grads_to_full_tree,
+        merge_partitions,
+        param_labels,
+        partition_params,
+    )
+
+    @functools.partial(
+        jax.jit,
+        donate_argnums=(0,),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    def train_step(state, batch, rng):
+        micro = split_batch(batch, accum_steps)
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        labels = param_labels(state.params, disable_lora=disable_lora)
+        trainable, frozen = partition_params(state.params, labels)
+
+        def body(carry, mb):
+            acc_grads, acc_loss, i = carry
+
+            def loss_t(tr):
+                return loss_fn(
+                    merge_partitions(tr, frozen), mb,
+                    jax.random.fold_in(dropout_rng, i),
+                )
+
+            loss, grads = jax.value_and_grad(loss_t)(trainable)
+            return (
+                jax.tree.map(jnp.add, acc_grads, grads),
+                acc_loss + loss,
+                i + 1,
+            ), None
+
+        zero = jax.tree.map(
+            lambda p: None if p is None else jnp.zeros_like(p),
+            trainable,
+            is_leaf=lambda x: x is None,
+        )
+        (g, loss, _), _ = jax.lax.scan(
+            body, (zero, jnp.float32(0), jnp.int32(0)), micro
+        )
+        g = jax.tree.map(lambda x: x / accum_steps, g)
+        grads = grads_to_full_tree(g, state.params)
+        return state.apply_gradients(grads), loss / accum_steps
 
     return train_step
 

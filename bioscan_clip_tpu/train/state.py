@@ -52,6 +52,42 @@ def param_labels(params, disable_lora: bool = False):
     )
 
 
+def partition_params(params, labels):
+    """Split the param tree into (trainable, frozen) trees with None
+    placeholders — lets jax.grad differentiate the trainable subset only
+    (LoRA training then skips every frozen-weight dW matmul in the
+    backward: ~1/3 of backward FLOPs and the full-size gradient tree)."""
+
+    def pick(want):
+        return jax.tree.map(
+            lambda p, l: p if l == want else None, params, labels
+        )
+
+    return pick("trainable"), pick("frozen")
+
+
+def merge_partitions(trainable, frozen):
+    """Inverse of partition_params."""
+    return jax.tree.map(
+        lambda a, b: b if a is None else a,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def grads_to_full_tree(grads_trainable, params):
+    """Expand trainable-only grads to the full tree (zeros for frozen —
+    optax.set_to_zero ignores them, so XLA dead-code-eliminates the
+    zeros)."""
+    return jax.tree.map(
+        lambda g, p: jnp.zeros_like(p) if g is None else g,
+        grads_trainable,
+        params,
+        is_leaf=lambda x: x is None,
+    )
+
+
 def count_trainable(params, labels) -> tuple:
     tr = fr = 0
     for leaf, lab in zip(

@@ -1,0 +1,44 @@
+"""Gradient-accumulation train step: runs, descends, and matches the plain
+step when each microbatch IS the full batch (accum_steps=1)."""
+
+import jax
+import numpy as np
+import pytest
+
+from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
+from bioscan_clip_tpu.train.loop import make_accum_train_step, make_train_step
+from tests.test_train_step import _batch, _init_state, _tiny_model
+
+
+def test_accum_one_matches_plain():
+    model = _tiny_model()
+    mesh = create_mesh(devices=jax.devices()[:1])
+    batch = shard_batch(_batch(16), mesh)
+
+    s1 = _init_state(model)
+    plain = make_train_step(model, mesh, remat=False)
+    s1, l1 = plain(s1, batch, jax.random.PRNGKey(3))
+
+    s2 = _init_state(model)
+    accum = make_accum_train_step(model, mesh, accum_steps=1, remat=False)
+    s2, l2 = accum(s2, batch, jax.random.PRNGKey(3))
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    a = np.asarray(s1.params["image_encoder"]["blocks"]["lora_q_b"])
+    b = np.asarray(s2.params["image_encoder"]["blocks"]["lora_q_b"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_accum_descends():
+    model = _tiny_model()
+    mesh = create_mesh(devices=jax.devices()[:2])
+    state = _init_state(model)
+    step = make_accum_train_step(model, mesh, accum_steps=4)
+    batch = shard_batch(_batch(16), mesh)
+    losses = []
+    for _ in range(6):
+        state, loss = step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 6
