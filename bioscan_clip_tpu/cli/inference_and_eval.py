@@ -13,7 +13,6 @@ import os
 import sys
 
 import h5py
-import numpy as np
 
 FEATURE_TYPES = [
     "encoded_image_feature",

@@ -18,7 +18,6 @@ import os
 import sys
 
 import jax
-import numpy as np
 
 
 def run(args, max_steps_per_epoch=None, out=print):
@@ -49,12 +48,14 @@ def run(args, max_steps_per_epoch=None, out=print):
         args.save_ckpt = False
 
     out("Construct dataloader...")
-    if getattr(mc, "dataset", None) == "INSECT":
+    insect_mode = getattr(mc, "dataset", None) == "INSECT"
+    if insect_mode:
         from bioscan_clip_tpu.data.insect import load_insect_dataloader
 
         (train_loader, train_for_key, val_loader, test_seen_loader,
          test_unseen_loader) = load_insect_dataloader(args)
-        eval_loaders = None
+        eval_loaders = (train_for_key, val_loader, test_seen_loader,
+                        test_unseen_loader)
     else:
         train_loader, seen_val, unseen_val, all_keys = load_dataloader(args)
         eval_loaders = (all_keys, seen_val, unseen_val)
@@ -81,11 +82,24 @@ def run(args, max_steps_per_epoch=None, out=print):
 
     mesh = create_mesh(getattr(args, "tpu", {}).get("mesh_shape")
                        if hasattr(args, "tpu") else None)
-    train_step = make_train_step(
-        model, mesh,
-        openclip_norm=bool(getattr(mc, "for_open_clip", False)),
-        disable_lora=disable_lora,
-    )
+    tpu_cfg = getattr(args, "tpu", None)
+    accum = int(tpu_cfg.get("accum_steps", 1)) if tpu_cfg else 1
+    if accum > 1:
+        # single-chip memory relief; microbatch InfoNCE semantics — see
+        # make_accum_train_step docstring
+        from bioscan_clip_tpu.train.loop import make_accum_train_step
+
+        train_step = make_accum_train_step(
+            model, mesh, accum_steps=accum,
+            openclip_norm=bool(getattr(mc, "for_open_clip", False)),
+            disable_lora=disable_lora,
+        )
+    else:
+        train_step = make_train_step(
+            model, mesh,
+            openclip_norm=bool(getattr(mc, "for_open_clip", False)),
+            disable_lora=disable_lora,
+        )
 
     wandb_run = WandbRun(
         getattr(mc, "wandb_project_name", "BIOSCAN-CLIP-TPU"),
@@ -132,14 +146,27 @@ def run(args, max_steps_per_epoch=None, out=print):
         if args.save_ckpt:
             save_checkpoint(folder, state, name="last")
             out(f"Last ckpt: {folder}/last")
-        if eval_loaders is None:
-            continue
-        all_keys, seen_val, unseen_val = eval_loaders
-        keys_dict = extract_features(
-            state.params, model, mesh, all_keys, for_key_set=True
-        )
-        seen_dict = extract_features(state.params, model, mesh, seen_val)
-        unseen_dict = extract_features(state.params, model, mesh, unseen_val)
+        if insect_mode:
+            # eval_phase_for_insect (train_cl.py:85-101): keys = merged
+            # train/val/test splits, queries = test seen/unseen
+            from bioscan_clip_tpu.retrieval.report import construct_key_dict
+
+            train_key, val_loader, test_seen_l, test_unseen_l = eval_loaders
+            dicts = [
+                extract_features(state.params, model, mesh, l)
+                for l in (train_key, val_loader, test_seen_l, test_unseen_l)
+            ]
+            keys_dict = construct_key_dict(dicts)
+            seen_dict, unseen_dict = dicts[2], dicts[3]
+        else:
+            all_keys, seen_val, unseen_val = eval_loaders
+            keys_dict = extract_features(
+                state.params, model, mesh, all_keys, for_key_set=True
+            )
+            seen_dict = extract_features(state.params, model, mesh, seen_val)
+            unseen_dict = extract_features(
+                state.params, model, mesh, unseen_val
+            )
         acc_dict, _, _ = inference_and_print_result(
             keys_dict, seen_dict, unseen_dict, args=args, k_list=k_list,
             mesh=mesh, out=out,

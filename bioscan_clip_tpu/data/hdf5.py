@@ -15,7 +15,6 @@ random row access is the reference's data-path bottleneck at scale.
 
 from __future__ import annotations
 
-import io
 from typing import Optional
 
 import h5py

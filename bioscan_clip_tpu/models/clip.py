@@ -17,10 +17,9 @@ covers all three towers; embeddings come back stacked for the loss.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from bioscan_clip_tpu.models.bert import (

@@ -21,7 +21,6 @@ LoRA(q/k/v, rank r) is parameterized the same way as the other towers
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,6 @@ fp32.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -57,6 +57,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch (pytree of arrays) sharded over `data`."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    leaves = jax.tree.leaves(batch)
+    if leaves and leaves[0].shape[0] % n_dev != 0:
+        raise ValueError(
+            f"batch size {leaves[0].shape[0]} must be divisible by the "
+            f"mesh's {n_dev} devices (training batches shard evenly; for "
+            "uneven eval tails use shard_batch_padded)"
+        )
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 

@@ -99,6 +99,24 @@ def build_split_dict(
     return d
 
 
+def construct_key_dict(list_of_dict):
+    """Merge several split dicts into one key dict by concatenating features
+    and labels; all_key_features entries are dropped (train_cl.py:49-68)."""
+    out = {}
+    for d in list_of_dict:
+        for k, v in d.items():
+            if k in ("all_key_features", "all_key_features_label"):
+                out[k] = None
+                continue
+            if k not in out:
+                out[k] = v
+            elif isinstance(v, list):
+                out[k] = out[k] + v
+            elif v is not None and out[k] is not None:
+                out[k] = np.concatenate((out[k], v), axis=0)
+    return out
+
+
 def inference_and_print_result(
     keys_dict, seen_dict, unseen_dict, args=None, small_species_list=None,
     k_list=None, mesh=None, out=print,

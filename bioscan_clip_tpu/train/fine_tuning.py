@@ -20,11 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from bioscan_clip_tpu.parallel.mesh import (
-    replicated,
-    shard_batch,
-    shard_batch_padded,
-)
+from bioscan_clip_tpu.parallel.mesh import replicated, shard_batch_padded
 
 
 def label_batch_to_species_idx(label_dicts, unique_species_for_seen):

@@ -15,18 +15,12 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from bioscan_clip_tpu.losses.contrastive import multimodal_contrastive_loss
-from bioscan_clip_tpu.parallel.mesh import (
-    batch_sharding,
-    replicated,
-    shard_batch,
-)
+from bioscan_clip_tpu.parallel.mesh import replicated, shard_batch
 
 LOGIT_SCALE = 1.0 / 0.07  # fixed temperature (train_cl.py:190)
 

@@ -13,7 +13,7 @@ trainable (simple_clip.py:199-201).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

@@ -1,0 +1,150 @@
+"""CLI integration tests on synthetic data: inference_and_eval feature-cache
+round trip, train_cl INSECT eval phase, construct_key_dict."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bioscan_clip_tpu.retrieval.report import build_split_dict, construct_key_dict
+
+
+def test_construct_key_dict():
+    a = build_split_dict(
+        image=np.ones((3, 8), np.float32), dna=np.ones((3, 8), np.float32),
+        language=np.ones((3, 8), np.float32),
+        label_list=[{"species": f"a{i}"} for i in range(3)],
+        for_key_set=True,
+    )
+    b = build_split_dict(
+        image=2 * np.ones((2, 8), np.float32),
+        dna=2 * np.ones((2, 8), np.float32),
+        language=2 * np.ones((2, 8), np.float32),
+        label_list=[{"species": f"b{i}"} for i in range(2)],
+    )
+    merged = construct_key_dict([a, b])
+    assert merged["encoded_image_feature"].shape == (5, 8)
+    assert len(merged["label_list"]) == 5
+    assert merged["all_key_features"] is None  # dropped (train_cl.py:54-56)
+
+
+def test_feature_cache_roundtrip(tmp_path):
+    from bioscan_clip_tpu.cli.inference_and_eval import (
+        load_feature_cache,
+        save_feature_cache,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def split(n, with_all=False):
+        labels = [
+            {"order": "o", "family": "f", "genus": "g", "species": f"s{i%3}"}
+            for i in range(n)
+        ]
+        return build_split_dict(
+            image=rng.standard_normal((n, 16)).astype(np.float32),
+            dna=rng.standard_normal((n, 16)).astype(np.float32),
+            language=rng.standard_normal((n, 16)).astype(np.float32),
+            label_list=labels,
+            for_key_set=with_all,
+        )
+
+    seen, unseen, keys = split(6), split(4), split(5, with_all=True)
+    fp = str(tmp_path / "cache.hdf5")
+    lp = str(tmp_path / "labels.json")
+    save_feature_cache(fp, lp, seen, unseen, keys)
+    s2, u2, k2 = load_feature_cache(fp, lp)
+
+    np.testing.assert_allclose(
+        s2["encoded_image_feature"], seen["encoded_image_feature"]
+    )
+    np.testing.assert_allclose(
+        k2["all_key_features"], keys["all_key_features"]
+    )
+    assert s2["label_list"] == seen["label_list"]
+    assert len(k2["all_key_features_label"]) == 15  # tripled keys
+
+
+def test_train_cl_insect_eval_phase(tmp_path, monkeypatch):
+    """Full train_cl.run on the synthetic INSECT fixture with a tiny model:
+    trains + runs the INSECT eval phase (merged key dict)."""
+    monkeypatch.chdir(tmp_path)
+    from tests.test_insect import insect_fixture  # fixture function
+
+    # build the fixture manually (can't use the pytest fixture directly)
+    import tests.test_insect as ti
+
+    class FakeFactory:
+        def mktemp(self, name):
+            p = tmp_path / name
+            p.mkdir(exist_ok=True)
+            return p
+
+    args = ti.insect_fixture.__wrapped__(FakeFactory())
+    cfg = args.cfg
+    cfg.merge(
+        {
+            "debug_flag": True,
+            "activate_wandb": False,
+            "save_inference": False,
+            "save_ckpt": False,
+            "project_root_path": str(tmp_path),
+            "model_output_dir": "ckpt",
+            "inference_and_eval_setting": {"k_list": [1, 3, 5]},
+        }
+    )
+    cfg.model_config.merge(
+        {
+            "dataset": "INSECT",
+            "epochs": 1,
+            "evaluation_period": 1,
+            "model_output_name": "synthetic_insect",
+            "load_ckpt": False,
+            "wandb_project_name": "test",
+            # train batches must divide the 8-device test mesh
+            "batch_size": 8,
+        }
+    )
+
+    # tiny towers via factory monkeypatch
+    import bioscan_clip_tpu.cli.train_cl as tc
+    import bioscan_clip_tpu.models.clip as clip_mod
+    from bioscan_clip_tpu.models.bert import (
+        BarcodeBertDnaEncoder,
+        BertConfig,
+        BertTextEncoder,
+    )
+    from bioscan_clip_tpu.models.vit import ViT, ViTConfig
+
+    def tiny(args, dtype=jnp.float32):
+        kw = dict(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            lora_rank=2, hidden_dropout=0.0, attention_dropout=0.0,
+        )
+        return clip_mod.MultiModalCLIP(
+            image_encoder=ViT(
+                ViTConfig(image_size=224, patch_size=32, hidden_size=32,
+                          num_layers=1, num_heads=2, num_classes=32,
+                          lora_rank=2),
+                dtype=jnp.float32,
+            ),
+            dna_encoder=BarcodeBertDnaEncoder(
+                BertConfig(vocab_size=1027, **kw), output_dim=32,
+                dtype=jnp.float32,
+            ),
+            language_encoder=BertTextEncoder(
+                BertConfig(vocab_size=30522, **kw), output_dim=32,
+                dtype=jnp.float32,
+            ),
+        )
+
+    monkeypatch.setattr(clip_mod, "load_clip_model", tiny)
+    lines = []
+    state, best = tc.run(args, out=lines.append)
+    assert int(state.step) >= 1
+    assert best is not None and 0.0 <= best <= 1.0
+    assert any("micro_acc top-1" in l for l in lines)

@@ -36,15 +36,8 @@ def test_one_cycle_matches_torch():
 
 def test_cosine_matches_torch():
     total = 40
-    ref = _torch_lrs(
-        lambda opt: torch.optim.lr_scheduler.CosineAnnealingLR(
-            opt, T_max=total, eta_min=1e-5
-        ),
-        total,
-    )
-    for g in [0]:
-        pass
-    # torch sets initial lr from optimizer: use lr=5e-5 like the configs
+    # torch sets the initial lr from the optimizer: use lr=5e-5 like the
+    # full-fine-tuning configs
     p = torch.nn.Parameter(torch.zeros(1))
     opt = torch.optim.AdamW([p], lr=5e-5)
     tsched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=total, eta_min=1e-5)
