@@ -70,7 +70,7 @@ def run(args, max_steps_per_epoch=None, out=print):
             params = load_pth_into_params(ckpt, params, mc.output_dim)
             out(f"Loaded checkpoint {ckpt}")
         else:
-            params = load_pretrained_towers(args, params, mc.output_dim)
+            params = load_pretrained_towers(args, params, mc.output_dim, log=out)
 
     steps_per_epoch = len(train_loader)
     if max_steps_per_epoch:

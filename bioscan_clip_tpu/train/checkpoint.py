@@ -103,23 +103,144 @@ def load_pth_into_params(pth_path: str, init_params, output_dim: int = 768):
     return merge_params(init_params, conv)
 
 
+def _load_hf_bert_state_dict(path_or_name: str) -> Optional[dict]:
+    """State dict for an HF BERT from a local artifact.
+
+    Accepts: a .pth/.bin file (torch.load), a local HF model directory
+    (pytorch_model.bin inside), or an HF model name resolvable from the
+    *local* cache (`local_files_only=True` — this host has zero egress).
+    """
+    from bioscan_clip_tpu.interop.torch_import import load_torch_state_dict
+
+    if os.path.isfile(path_or_name):
+        return load_torch_state_dict(path_or_name)
+    if os.path.isdir(path_or_name):
+        for fname in ("pytorch_model.bin", "model.pth", "model.bin"):
+            p = os.path.join(path_or_name, fname)
+            if os.path.isfile(p):
+                return load_torch_state_dict(p)
+    try:
+        from transformers import BertModel
+
+        model = BertModel.from_pretrained(path_or_name, local_files_only=True)
+        return {
+            k: v.detach().cpu().numpy() for k, v in model.state_dict().items()
+        }
+    except Exception:
+        return None
+
+
 def load_pretrained_towers(
-    args, init_params, output_dim: int = 768
+    args, init_params, output_dim: int = 768, log=None
 ) -> Any:
-    """Load the three *pretrained* towers (BarcodeBERT ckpt; timm/HF when
-    available on disk) into a fresh param tree — the reference's
-    from-pretrained initialization (simple_clip.py:147-191)."""
+    """Load the pretrained towers into a fresh param tree — the reference's
+    from-pretrained initialization (simple_clip.py:147-191):
+
+    - DNA:   BarcodeBERT MLM ckpt at `args.bioscan_bert_checkpoint`
+             (dna_encoder.py:14-22; MLM decoder discarded).
+    - image: timm `vit_base_patch16_224` state dict at
+             `args.pretrained_weights.timm_vit` (simple_clip.py:150; the
+             1000-class head is dropped, head_out stays fresh).
+    - text:  `prajjwal1/bert-small` weights at
+             `args.pretrained_weights.bert_small` — a .pth/.bin file, an HF
+             model dir, or a cached HF name (language_encoder.py:12-20).
+    - OpenCLIP ablation: full open_clip ViT-L/14 state dict at
+             `args.pretrained_weights.open_clip` feeding both towers
+             (simple_clip.py:141-145).
+
+    Tower type is detected from the init tree structure; layer counts are
+    derived from the stacked scan leaves. Missing artifacts leave that tower
+    at its random init (logged via `log`).
+    """
     from bioscan_clip_tpu.interop.torch_import import (
         convert_barcode_bert,
+        convert_bert_encoder,
+        convert_timm_vit,
         load_torch_state_dict,
         merge_params,
     )
 
+    def _say(msg):
+        if log:
+            log(msg)
+
+    pw = getattr(args, "pretrained_weights", None)
+
+    def _pw(key):
+        p = getattr(pw, key, None) if pw is not None else None
+        return p if p and (os.path.isfile(str(p)) or os.path.isdir(str(p))) \
+            else None
+
     params = init_params
+
+    dna = params.get("dna_encoder")
     ckpt = getattr(args, "bioscan_bert_checkpoint", None)
-    if ckpt and os.path.isfile(ckpt) and "dna_encoder" in params:
+    if dna is not None and "bert" in dna and ckpt and os.path.isfile(ckpt):
         sd = load_torch_state_dict(ckpt)
+        nl = int(dna["bert"]["layers"]["query"]["kernel"].shape[0])
         params = merge_params(
-            params, {"dna_encoder": convert_barcode_bert(sd, num_layers=12)}
+            params, {"dna_encoder": convert_barcode_bert(sd, num_layers=nl)}
         )
+        _say(f"dna_encoder <- BarcodeBERT {ckpt}")
+
+    img = params.get("image_encoder")
+    if img is not None and "blocks" in img:
+        path = _pw("timm_vit")
+        if path:
+            sd = load_torch_state_dict(path)
+            nl = int(img["blocks"]["qkv"]["kernel"].shape[0])
+            params = merge_params(
+                params,
+                {"image_encoder": convert_timm_vit(
+                    sd, num_layers=nl, head_out=output_dim
+                )},
+            )
+            _say(f"image_encoder <- timm ViT {path}")
+        else:
+            _say("image_encoder: no timm_vit artifact; random init")
+
+    txt = params.get("language_encoder")
+    if txt is not None and "bert" in txt:
+        src = None
+        if pw is not None and getattr(pw, "bert_small", None):
+            src = _load_hf_bert_state_dict(str(pw.bert_small))
+        if src is None:
+            src = _load_hf_bert_state_dict("prajjwal1/bert-small")
+        if src is not None:
+            nl = int(txt["bert"]["layers"]["query"]["kernel"].shape[0])
+            params = merge_params(
+                params,
+                {"language_encoder": {
+                    "bert": convert_bert_encoder(src, num_layers=nl)
+                }},
+            )
+            _say("language_encoder <- bert-small weights")
+        else:
+            _say("language_encoder: no bert-small artifact; random init")
+
+    # OpenCLIP ablation path: one .pt feeds both towers
+    oc_path = _pw("open_clip")
+    is_oc_img = img is not None and "resblocks" in img
+    is_oc_txt = txt is not None and "text" in txt
+    if (is_oc_img or is_oc_txt) and oc_path:
+        from bioscan_clip_tpu.models.openclip import (
+            convert_openclip_text,
+            convert_openclip_visual,
+        )
+
+        sd = load_torch_state_dict(oc_path)
+        overlay = {}
+        if is_oc_img:
+            nl = int(img["resblocks"]["in_proj"]["kernel"].shape[0])
+            overlay["image_encoder"] = convert_openclip_visual(sd, layers=nl)
+        if is_oc_txt:
+            nl = int(txt["text"]["resblocks"]["in_proj"]["kernel"].shape[0])
+            overlay["language_encoder"] = {
+                "text": convert_openclip_text(sd, layers=nl)
+            }
+        params = merge_params(params, overlay)
+        _say(f"open_clip towers <- {oc_path}")
+    elif is_oc_img or is_oc_txt:
+        _say("open_clip towers: no artifact; random init")
+
     return params
