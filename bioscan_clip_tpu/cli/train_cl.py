@@ -30,6 +30,7 @@ def run(args, max_steps_per_epoch=None, out=print):
     from bioscan_clip_tpu.train.checkpoint import (
         load_pretrained_towers,
         load_pth_into_params,
+        restore_checkpoint,
         save_checkpoint,
     )
     from bioscan_clip_tpu.train.loop import (
@@ -82,6 +83,18 @@ def run(args, max_steps_per_epoch=None, out=print):
 
     mesh = create_mesh(getattr(args, "tpu", {}).get("mesh_shape")
                        if hasattr(args, "tpu") else None)
+
+    # mid-run resume (SURVEY.md §5.4 upgrade; the reference has none):
+    # `resume=<ckpt folder>` restores params+opt+step from <folder>/last and
+    # continues at the next epoch boundary.
+    resume_dir = getattr(args, "resume", None)
+    start_epoch = 0
+    if resume_dir:
+        state = restore_checkpoint(str(resume_dir), state, name="last",
+                                   mesh=mesh)
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        out(f"Resumed from {resume_dir}/last at step {int(state.step)} "
+            f"(epoch {start_epoch})")
     tpu_cfg = getattr(args, "tpu", None)
     accum = int(tpu_cfg.get("accum_steps", 1)) if tpu_cfg else 1
     if accum > 1:
@@ -122,8 +135,9 @@ def run(args, max_steps_per_epoch=None, out=print):
     best_epoch = None
     rng = jax.random.PRNGKey(42)
     k_list = [1, 3, 5]
+    profile_dir = getattr(args, "profile_dir", None)
     out("training...")
-    for epoch in range(mc.epochs):
+    for epoch in range(start_epoch, mc.epochs):
         loader = train_loader
         if max_steps_per_epoch:
             import itertools
@@ -132,6 +146,8 @@ def run(args, max_steps_per_epoch=None, out=print):
         state, stats = train_epoch(
             state, train_step, loader, mesh, rng, epoch, mc.epochs,
             logger=out, wandb_run=wandb_run,
+            profile_dir=profile_dir if epoch == start_epoch else None,
+            profile_steps=int(getattr(args, "profile_steps", 5)),
         )
         out(
             f"epoch {epoch}: {stats['samples_per_s']:.1f} samples/s, "

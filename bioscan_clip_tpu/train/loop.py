@@ -319,20 +319,36 @@ def train_epoch(
     log_every: int = 20,
     logger=None,
     wandb_run=None,
+    profile_dir=None,
+    profile_steps: int = 5,
 ):
     """One epoch over a host dataloader yielding batch dicts.
 
     Replaces epoch/train_epoch.py:11-61: per-step forward/backward/step +
     per-step scheduler + per-step metric logging (loss, lr, step time) —
     without the reference's permanently-enabled anomaly mode.
+
+    `profile_dir`: capture a jax.profiler (Perfetto) trace of the first
+    `profile_steps` steps (SURVEY.md §5.1 upgrade — the reference has no
+    profiler).
     """
     losses = []
     t_start = time.perf_counter()
     n_samples = 0
+    tracing = False
     for i, batch in enumerate(dataloader):
+        if profile_dir and i == 0:
+            jax.profiler.start_trace(profile_dir)
+            tracing = True
         batch = shard_batch(device_batch(batch), mesh)
         n_samples += int(batch["labels"].shape[0])
         state, loss = train_step(state, batch, rng)
+        if tracing and i + 1 >= profile_steps:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            tracing = False
+            if logger is not None:
+                logger(f"profiler trace ({profile_steps} steps) -> {profile_dir}")
         if (i % log_every == 0 or i < 3) and logger is not None:
             loss_v = float(loss)
             losses.append(loss_v)
@@ -345,6 +361,8 @@ def train_epoch(
                 wandb_run.log({"loss": loss_v, "epoch": epoch})
         else:
             losses.append(None)
+    if tracing:
+        jax.profiler.stop_trace()
     # block on the last step so epoch timing is honest
     jax.block_until_ready(state.params)
     dur = time.perf_counter() - t_start

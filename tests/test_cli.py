@@ -148,3 +148,103 @@ def test_train_cl_insect_eval_phase(tmp_path, monkeypatch):
     assert int(state.step) >= 1
     assert best is not None and 0.0 <= best <= 1.0
     assert any("micro_acc top-1" in l for l in lines)
+
+
+def _tiny_factory(clip_mod):
+    from bioscan_clip_tpu.models.bert import (
+        BarcodeBertDnaEncoder,
+        BertConfig,
+        BertTextEncoder,
+    )
+    from bioscan_clip_tpu.models.vit import ViT, ViTConfig
+
+    def tiny(args, dtype=jnp.float32):
+        kw = dict(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            lora_rank=2, hidden_dropout=0.0, attention_dropout=0.0,
+        )
+        return clip_mod.MultiModalCLIP(
+            image_encoder=ViT(
+                ViTConfig(image_size=224, patch_size=32, hidden_size=32,
+                          num_layers=1, num_heads=2, num_classes=32,
+                          lora_rank=2),
+                dtype=jnp.float32,
+            ),
+            dna_encoder=BarcodeBertDnaEncoder(
+                BertConfig(vocab_size=1027, **kw), output_dim=32,
+                dtype=jnp.float32,
+            ),
+            language_encoder=BertTextEncoder(
+                BertConfig(vocab_size=30522, **kw), output_dim=32,
+                dtype=jnp.float32,
+            ),
+        )
+
+    return tiny
+
+
+def test_train_cl_resume_and_profiler(tmp_path, monkeypatch):
+    """CLI resume: train w/ checkpoints, then `resume=<folder>` continues
+    from the saved step; `profile_dir=` captures a trace of the first steps
+    (VERDICT r1 item 8)."""
+    monkeypatch.chdir(tmp_path)
+    import tests.test_insect as ti
+
+    class FakeFactory:
+        def mktemp(self, name):
+            p = tmp_path / name
+            p.mkdir(exist_ok=True)
+            return p
+
+    args = ti.insect_fixture.__wrapped__(FakeFactory())
+    cfg = args.cfg
+    cfg.merge(
+        {
+            "debug_flag": False,
+            "activate_wandb": False,
+            "save_inference": False,
+            "save_ckpt": True,
+            "project_root_path": str(tmp_path),
+            "model_output_dir": "ckpt",
+            "profile_dir": str(tmp_path / "trace"),
+            "profile_steps": 1,
+            "inference_and_eval_setting": {"k_list": [1, 3, 5]},
+        }
+    )
+    cfg.model_config.merge(
+        {
+            "dataset": "INSECT",
+            "epochs": 1,
+            "evaluation_period": 1,
+            "model_output_name": "resume_test",
+            "load_ckpt": False,
+            "wandb_project_name": "test",
+            "batch_size": 8,
+        }
+    )
+
+    import bioscan_clip_tpu.cli.train_cl as tc
+    import bioscan_clip_tpu.models.clip as clip_mod
+
+    monkeypatch.setattr(clip_mod, "load_clip_model", _tiny_factory(clip_mod))
+
+    lines = []
+    state, _ = tc.run(args, out=lines.append)
+    first_steps = int(state.step)
+    assert first_steps >= 1
+    assert any("profiler trace" in l for l in lines)
+    assert os.path.isdir(str(tmp_path / "trace"))
+
+    # the CLI saved <root>/ckpt/resume_test/<stamp>/last
+    runs_dir = tmp_path / "ckpt" / "resume_test"
+    stamps = sorted(os.listdir(runs_dir))
+    ckpt_folder = str(runs_dir / stamps[-1])
+    assert os.path.isdir(os.path.join(ckpt_folder, "last"))
+
+    # resume for 2 total epochs: starts at epoch 1, runs exactly one more
+    cfg.merge({"resume": ckpt_folder, "profile_dir": None})
+    cfg.model_config.merge({"epochs": 2})
+    lines2 = []
+    state2, _ = tc.run(args, out=lines2.append)
+    assert any("Resumed from" in l for l in lines2)
+    assert int(state2.step) == 2 * first_steps
