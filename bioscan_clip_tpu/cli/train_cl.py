@@ -98,15 +98,27 @@ def run(args, max_steps_per_epoch=None, out=print):
     tpu_cfg = getattr(args, "tpu", None)
     accum = int(tpu_cfg.get("accum_steps", 1)) if tpu_cfg else 1
     if accum > 1:
-        # single-chip memory relief; microbatch InfoNCE semantics — see
-        # make_accum_train_step docstring
-        from bioscan_clip_tpu.train.loop import make_accum_train_step
+        # single-chip memory relief. Default: GradCache — full-batch
+        # InfoNCE negatives, exact full-batch gradients (the reference's
+        # batch-400 ClipLoss semantics). accum_mode=micro falls back to
+        # per-microbatch negatives (reference per-rank ContrastiveLoss).
+        mode = str(tpu_cfg.get("accum_mode", "gradcache")) if tpu_cfg else "gradcache"
+        if mode == "micro":
+            from bioscan_clip_tpu.train.loop import make_accum_train_step
 
-        train_step = make_accum_train_step(
-            model, mesh, accum_steps=accum,
-            openclip_norm=bool(getattr(mc, "for_open_clip", False)),
-            disable_lora=disable_lora,
-        )
+            train_step = make_accum_train_step(
+                model, mesh, accum_steps=accum,
+                openclip_norm=bool(getattr(mc, "for_open_clip", False)),
+                disable_lora=disable_lora,
+            )
+        else:
+            from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+            train_step = make_gradcache_train_step(
+                model, mesh, accum_steps=accum,
+                openclip_norm=bool(getattr(mc, "for_open_clip", False)),
+                disable_lora=disable_lora,
+            )
     else:
         train_step = make_train_step(
             model, mesh,

@@ -233,6 +233,138 @@ def make_accum_train_step(
     return train_step
 
 
+def make_gradcache_train_step(
+    model, mesh, accum_steps: int, logit_scale: float = LOGIT_SCALE,
+    openclip_norm: bool = False, disable_lora: bool = False,
+):
+    """Gradient accumulation with FULL-batch InfoNCE negatives (GradCache,
+    Gao et al. 2021) — the reference's batch-400 ClipLoss semantics
+    (loss_func.py:117-136) at a fraction of the activation memory:
+
+      1. scan microbatches without grad, caching the (mb, D) embeddings;
+      2. one loss over the full (B, B) similarity -> d loss / d embeddings;
+      3. scan microbatches again, recomputing each forward and pulling the
+         cached embedding cotangent back into parameter grads via VJP.
+
+    The dropout/augmentation rngs are derived identically in stages 1 and 3
+    (fold_in per microbatch index), so the recomputed embeddings equal the
+    cached ones and the accumulated gradient is EXACTLY the full-batch
+    gradient (tested against make_train_step in tests/test_accum_step.py).
+    Peak activation memory is one microbatch's towers; cost is one extra
+    forward.
+    """
+    from bioscan_clip_tpu.data.transforms import train_transform
+
+    towers = {}
+    for name, method in (
+        ("image", model.encode_image),
+        ("dna", model.encode_dna),
+        ("language", model.encode_language),
+    ):
+        enc = getattr(model, f"{name}_encoder")
+        if enc is not None:
+            towers[name] = functools.partial(
+                lambda p, x, r, _m: model.apply(
+                    {"params": p}, x, deterministic=False,
+                    rngs={"dropout": r}, method=_m,
+                ),
+                _m=method,
+            )
+
+    def embed_micro(params, mb, rng_i):
+        aug_rng, r_img, r_dna, r_txt = jax.random.split(rng_i, 4)
+        image = mb.get("image")
+        if image is None and "image_u8" in mb:
+            image = train_transform(
+                mb["image_u8"], aug_rng, normalize=openclip_norm
+            )
+        inputs = {
+            "image": (image, r_img),
+            "dna": (mb.get("dna"), r_dna),
+            "language": (mb.get("language"), r_txt),
+        }
+        return {
+            n: towers[n](params, *inputs[n])
+            for n in towers
+            if inputs[n][0] is not None
+        }
+
+    def split_batch(batch, n):
+        return jax.tree.map(
+            lambda x: x.reshape((n, x.shape[0] // n) + x.shape[1:]), batch
+        )
+
+    from bioscan_clip_tpu.train.state import (
+        grads_to_full_tree,
+        merge_partitions,
+        param_labels,
+        partition_params,
+    )
+
+    @functools.partial(
+        jax.jit,
+        donate_argnums=(0,),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    def train_step(state, batch, rng):
+        inputs = {k: v for k, v in batch.items() if k != "labels"}
+        micro = split_batch(inputs, accum_steps)
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        labels_tree = param_labels(state.params, disable_lora=disable_lora)
+        trainable, frozen = partition_params(state.params, labels_tree)
+        p_full = merge_partitions(trainable, frozen)
+
+        # stage 1: cache embeddings, no grad
+        def s1(_, xi):
+            mb, i = xi
+            return None, embed_micro(
+                p_full, mb, jax.random.fold_in(dropout_rng, i)
+            )
+
+        _, cached = jax.lax.scan(
+            s1, None, (micro, jnp.arange(accum_steps))
+        )
+        full = {k: v.reshape(-1, v.shape[-1]) for k, v in cached.items()}
+
+        # stage 2: full-batch loss -> embedding cotangents
+        loss, emb_grads = jax.value_and_grad(
+            lambda e: multimodal_contrastive_loss(
+                e, batch["labels"], logit_scale
+            )
+        )(full)
+        emb_grads_micro = {
+            k: v.reshape((accum_steps, -1) + v.shape[1:])
+            for k, v in emb_grads.items()
+        }
+
+        # stage 3: recompute each microbatch forward, VJP the cotangent
+        def s3(acc, xi):
+            mb, g_mb, i = xi
+
+            def f(tr):
+                return embed_micro(
+                    merge_partitions(tr, frozen), mb,
+                    jax.random.fold_in(dropout_rng, i),
+                )
+
+            _, vjp = jax.vjp(f, trainable)
+            (g,) = vjp(g_mb)
+            return jax.tree.map(jnp.add, acc, g), None
+
+        zero = jax.tree.map(
+            lambda p: None if p is None else jnp.zeros_like(p),
+            trainable,
+            is_leaf=lambda x: x is None,
+        )
+        g, _ = jax.lax.scan(
+            s3, zero, (micro, emb_grads_micro, jnp.arange(accum_steps))
+        )
+        grads = grads_to_full_tree(g, state.params)
+        return state.apply_gradients(grads), loss
+
+    return train_step
+
+
 def make_embed_step(model, mesh, modality: str, openclip_norm: bool = False):
     """Jitted inference step for one modality -> normalized (B, D) embeddings
     (the hot loop of get_feature_and_label, inference_epoch.py:8-68). uint8

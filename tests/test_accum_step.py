@@ -42,3 +42,46 @@ def test_accum_descends():
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
     assert int(state.step) == 6
+
+
+def test_gradcache_matches_full_batch_gradients():
+    """GradCache accumulation == full-batch step EXACTLY (same negatives,
+    same gradients) — the reference's batch-400 ClipLoss semantics under
+    memory-bounded accumulation (VERDICT r1 item 5)."""
+    from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+    model = _tiny_model()
+    mesh = create_mesh(devices=jax.devices()[:1])
+    batch = shard_batch(_batch(16), mesh)
+
+    s1 = _init_state(model)
+    plain = make_train_step(model, mesh)
+    s1, l1 = plain(s1, batch, jax.random.PRNGKey(3))
+
+    s2 = _init_state(model)
+    gc = make_gradcache_train_step(model, mesh, accum_steps=4)
+    s2, l2 = gc(s2, batch, jax.random.PRNGKey(3))
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for a, b in zip(
+        jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+        )
+
+
+def test_gradcache_descends_on_mesh():
+    from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+    model = _tiny_model()
+    mesh = create_mesh()
+    state = _init_state(model)
+    step = make_gradcache_train_step(model, mesh, accum_steps=2)
+    batch = shard_batch(_batch(16), mesh)
+    losses = []
+    for _ in range(6):
+        state, loss = step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
