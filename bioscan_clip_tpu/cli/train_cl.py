@@ -109,7 +109,7 @@ def run(args, max_steps_per_epoch=None, out=print):
             train_step = make_accum_train_step(
                 model, mesh, accum_steps=accum,
                 openclip_norm=bool(getattr(mc, "for_open_clip", False)),
-                disable_lora=disable_lora,
+                disable_lora=disable_lora, color_jitter=insect_mode,
             )
         else:
             from bioscan_clip_tpu.train.loop import make_gradcache_train_step
@@ -117,13 +117,15 @@ def run(args, max_steps_per_epoch=None, out=print):
             train_step = make_gradcache_train_step(
                 model, mesh, accum_steps=accum,
                 openclip_norm=bool(getattr(mc, "for_open_clip", False)),
-                disable_lora=disable_lora,
+                disable_lora=disable_lora, color_jitter=insect_mode,
             )
     else:
+        # INSECT train transform appends ColorJitter(0.5 x4)
+        # (dataset_for_insect_dataset.py:116-118)
         train_step = make_train_step(
             model, mesh,
             openclip_norm=bool(getattr(mc, "for_open_clip", False)),
-            disable_lora=disable_lora,
+            disable_lora=disable_lora, color_jitter=insect_mode,
         )
 
     wandb_run = WandbRun(

@@ -282,14 +282,16 @@ def eval_transform(images_u8, size: int = 224, resize_to: int = 256,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("size", "resize_to", "normalize")
+    jax.jit, static_argnames=("size", "resize_to", "normalize", "jitter")
 )
 def train_transform(images_u8, rng, size: int = 224, resize_to: int = 256,
-                    normalize: bool = False):
+                    normalize: bool = False, jitter: bool = False):
     """ToTensor -> Resize(256) -> RandomResizedCrop(224) -> HFlip -> VFlip ->
     RandomRotation(±45) [OpenCLIP path: Normalize before the flips, matching
-    dataset.py:156-168 ordering]."""
-    k_crop, k_flip, k_rot = jax.random.split(rng, 3)
+    dataset.py:156-168 ordering]. `jitter` appends ColorJitter(0.5 x4) —
+    the INSECT train transform's extra last stage
+    (dataset_for_insect_dataset.py:116-118)."""
+    k_crop, k_flip, k_rot, k_jit = jax.random.split(rng, 4)
     x = images_u8.astype(jnp.float32) / 255.0
     # keep the uint8 conversion out of the vmap'd crop-resize kernel: fusing
     # them makes XLA:TPU emit a pathologically slow gather (observed 1000x)
@@ -300,4 +302,6 @@ def train_transform(images_u8, rng, size: int = 224, resize_to: int = 256,
         x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
     x = random_flips(x, k_flip)
     x = random_rotation(x, k_rot)
+    if jitter:
+        x = color_jitter(x, k_jit)
     return x

@@ -315,9 +315,25 @@ def convert_simple_clip_checkpoint(sd: dict, output_dim: int = 768) -> dict:
     Reference key roots: `image_encoder.lora_vit.*`,
     `dna_encoder.lora_barcode_bert.*` (+ per-layer LoRA wraps),
     `language_encoder.lora_bert.*` + `language_encoder.proj.*`
-    (simple_clip.py:18-26 attribute names).
+    (simple_clip.py:18-26 attribute names). `for_open_clip` checkpoints
+    instead carry the whole model under `open_clip_model.*`
+    (simple_clip.py:24), possibly with loratorch LoRA adapters on every
+    `attn` (util.py:309-359) — both towers are converted from that root.
     """
     out = {}
+    oc = _sub(sd, "open_clip_model.")
+    if oc:
+        from bioscan_clip_tpu.models.openclip import (
+            convert_openclip_text,
+            convert_openclip_visual,
+        )
+
+        nl_v = _count_layers(oc, r"visual\.transformer\.resblocks\.(\d+)\.")
+        out["image_encoder"] = convert_openclip_visual(oc, layers=nl_v)
+        nl_t = _count_layers(oc, r"transformer\.resblocks\.(\d+)\.")
+        out["language_encoder"] = {
+            "text": convert_openclip_text(oc, layers=nl_t)
+        }
     img = _sub(sd, "image_encoder.")
     if img:
         nl = _count_layers(img, r"(?:lora_vit\.)?blocks\.(\d+)\.")

@@ -219,7 +219,35 @@ def _t(x):
     return np.ascontiguousarray(np.asarray(x).T)
 
 
-def _convert_blocks(sd: dict, prefix: str, layers: int) -> dict:
+def _lora_pair(sd: dict, attn_prefix: str, slot: str):
+    """Find the loratorch LoRA (A, B) pair for q/k/v on an attention module.
+
+    The released `for_open_clip` checkpoints wrap each `attn` in a loratorch
+    `MultiheadAttention(enable_lora=['q','k','v'], r=4)`
+    (reference util.py:309-359). loratorch registers per-slot parameters on
+    the module; we accept the naming spellings used across its releases:
+    `{q}_lora_A`, `{q}_proj_lora_A`, `lora_A_{q}` (A: (r, d); B: (d, r) —
+    loralib conventions). Returns (A, B) or None.
+    """
+    for fmt_a, fmt_b in (
+        ("{s}_lora_A", "{s}_lora_B"),
+        ("{s}_proj_lora_A", "{s}_proj_lora_B"),
+        ("lora_A_{s}", "lora_B_{s}"),
+        ("in_proj_lora_A_{s}", "in_proj_lora_B_{s}"),
+    ):
+        ka = attn_prefix + fmt_a.format(s=slot)
+        kb = attn_prefix + fmt_b.format(s=slot)
+        if ka in sd and kb in sd:
+            return sd[ka], sd[kb]
+    return None
+
+
+def _convert_blocks(sd: dict, prefix: str, layers: int,
+                    lora_alpha: float = 1.0) -> dict:
+    """Resblock stack -> stacked scan params. Picks up loratorch LoRA
+    adapters when present (released `for_open_clip` checkpoints); the
+    loratorch scaling alpha/r is folded into the B factor so our unscaled
+    `x @ a @ b` delta is exact."""
     import numpy as np
 
     cols = {
@@ -230,6 +258,8 @@ def _convert_blocks(sd: dict, prefix: str, layers: int) -> dict:
         "c_fc": {"kernel": [], "bias": []},
         "c_proj": {"kernel": [], "bias": []},
     }
+    lora = {f"lora_{s}_{ab}": [] for s in "qkv" for ab in "ab"}
+    has_lora = False
     for i in range(layers):
         L = f"{prefix}.resblocks.{i}."
         cols["ln_1"]["scale"].append(sd[L + "ln_1.weight"])
@@ -244,10 +274,28 @@ def _convert_blocks(sd: dict, prefix: str, layers: int) -> dict:
         cols["c_fc"]["bias"].append(sd[L + "mlp.c_fc.bias"])
         cols["c_proj"]["kernel"].append(_t(sd[L + "mlp.c_proj.weight"]))
         cols["c_proj"]["bias"].append(sd[L + "mlp.c_proj.bias"])
-    return {
+        for s in "qkv":
+            pair = _lora_pair(sd, L + "attn.", s)
+            if pair is not None:
+                a_t, b_t = pair  # torch A (r, d), B (d, r)
+                r = np.asarray(a_t).shape[0]
+                scale = lora_alpha / r
+                has_lora = True
+                lora[f"lora_{s}_a"].append(_t(a_t))          # (d, r)
+                lora[f"lora_{s}_b"].append(scale * _t(b_t))  # (r, d)
+    out = {
         name: {k: np.stack(v) for k, v in sub.items()}
         for name, sub in cols.items()
     }
+    if has_lora:
+        for k, v in lora.items():
+            if len(v) != layers:
+                raise ValueError(
+                    f"LoRA params present for only {len(v)}/{layers} layers "
+                    f"({k}); partial lora_layer lists are not supported"
+                )
+            out[k] = np.stack(v)
+    return out
 
 
 def convert_openclip_visual(sd: dict, layers: int = 24) -> dict:

@@ -37,7 +37,7 @@ def device_batch(batch: dict) -> dict:
 def make_train_step(
     model, mesh, logit_scale: float = LOGIT_SCALE,
     openclip_norm: bool = False, remat: bool = False,
-    disable_lora: bool = False,
+    disable_lora: bool = False, color_jitter: bool = False,
 ):
     """Build the jitted train step for a MultiModalCLIP model on `mesh`.
 
@@ -77,7 +77,8 @@ def make_train_step(
         image = batch.get("image")
         if image is None and "image_u8" in batch:
             image = train_transform(
-                batch["image_u8"], aug_rng, normalize=openclip_norm
+                batch["image_u8"], aug_rng, normalize=openclip_norm,
+                jitter=color_jitter,
             )
         inputs = {
             "image": (image, r_img),
@@ -124,7 +125,7 @@ def make_train_step(
 def make_accum_train_step(
     model, mesh, accum_steps: int, logit_scale: float = LOGIT_SCALE,
     openclip_norm: bool = False, remat: bool = False,
-    disable_lora: bool = False,
+    disable_lora: bool = False, color_jitter: bool = False,
 ):
     """Gradient-accumulation train step: the batch is split into
     `accum_steps` microbatches scanned sequentially; gradients are averaged
@@ -132,12 +133,9 @@ def make_accum_train_step(
 
     NOTE on loss semantics: the InfoNCE negatives come from each
     *microbatch* (the reference's default per-rank ContrastiveLoss
-    semantics, loss_func.py:29-54), not the full accumulated batch —
-    matching global-batch negatives under accumulation would require
-    embedding caching (GradCache), a future extension. Use this on a single
-    chip when the full per-device batch exceeds compile/memory limits;
-    on a pod slice prefer plain `make_train_step` (per-device batches are
-    small and negatives stay global via the sharded loss).
+    semantics, loss_func.py:29-54), not the full accumulated batch. For
+    full-batch negatives under accumulation use
+    `make_gradcache_train_step` (the default in train_cl).
     """
     from bioscan_clip_tpu.data.transforms import train_transform
 
@@ -171,7 +169,8 @@ def make_accum_train_step(
         image = mb.get("image")
         if image is None and "image_u8" in mb:
             image = train_transform(
-                mb["image_u8"], aug_rng, normalize=openclip_norm
+                mb["image_u8"], aug_rng, normalize=openclip_norm,
+                jitter=color_jitter,
             )
         inputs = {
             "image": (image, r_img),
@@ -236,6 +235,7 @@ def make_accum_train_step(
 def make_gradcache_train_step(
     model, mesh, accum_steps: int, logit_scale: float = LOGIT_SCALE,
     openclip_norm: bool = False, disable_lora: bool = False,
+    color_jitter: bool = False,
 ):
     """Gradient accumulation with FULL-batch InfoNCE negatives (GradCache,
     Gao et al. 2021) — the reference's batch-400 ClipLoss semantics
@@ -276,7 +276,8 @@ def make_gradcache_train_step(
         image = mb.get("image")
         if image is None and "image_u8" in mb:
             image = train_transform(
-                mb["image_u8"], aug_rng, normalize=openclip_norm
+                mb["image_u8"], aug_rng, normalize=openclip_norm,
+                jitter=color_jitter,
             )
         inputs = {
             "image": (image, r_img),

@@ -180,3 +180,85 @@ def test_clip_tokenizer_missing_bpe():
 
     with pytest.raises(FileNotFoundError):
         ClipTokenizer(bpe_path="/nonexistent/bpe.gz")
+
+
+def _attach_synthetic_loratorch(model, root, r=4, alpha=1.0, seed=7):
+    """Add loratorch-layout `{q,k,v}_lora_{A,B}` entries to `model`'s state
+    dict copy AND merge the scaled deltas into the live module's in_proj
+    weights (loratorch evaluates with W' = W + alpha/r * B @ A), so the
+    torch forward is the LoRA-adapted reference output."""
+    torch.manual_seed(seed)
+    sd = {f"{root}.{k}": v.detach().numpy().copy()
+          for k, v in model.state_dict().items()}
+    for i, blk in enumerate(model.transformer.resblocks):
+        d = blk.attn.embed_dim
+        for si, s in enumerate("qkv"):
+            A = torch.randn(r, d) * 0.3
+            B = torch.randn(d, r) * 0.3
+            key = f"{root}.transformer.resblocks.{i}.attn.{s}"
+            sd[f"{key}_lora_A"] = A.numpy()
+            sd[f"{key}_lora_B"] = B.numpy()
+            with torch.no_grad():
+                blk.attn.in_proj_weight[si * d:(si + 1) * d] += (
+                    (alpha / r) * (B @ A)
+                )
+    return sd
+
+
+def test_visual_tower_parity_with_loratorch_checkpoint():
+    """Released `for_open_clip` checkpoints wrap every attn in loratorch
+    MultiheadAttention(enable_lora=['q','k','v'], r=4) (util.py:309-359);
+    the converter must map its per-slot A/B params (scaling folded into B)
+    so our unmerged LoRA forward equals torch's merged-weight forward."""
+    torch.manual_seed(6)
+    tv = _Visual()
+    tv.eval()
+    sd = _attach_synthetic_loratorch(tv, "visual")
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        ref = tv(torch.tensor(imgs)).numpy()
+
+    cfg = OpenClipVisionConfig(
+        image_size=28, patch_size=14, width=32, layers=2, heads=4,
+        output_dim=24, lora_rank=4,
+    )
+    model = OpenClipImageTower(cfg, dtype=jnp.float32)
+    x = jnp.transpose(jnp.asarray(imgs), (0, 2, 3, 1))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    conv = convert_openclip_visual(sd, layers=2)
+    assert "lora_q_a" in conv["resblocks"]
+    params = merge_params(params, conv)
+    out = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5, rtol=1e-4)
+
+
+def test_simple_clip_ckpt_open_clip_root():
+    """convert_simple_clip_checkpoint handles the `open_clip_model.*` root
+    (simple_clip.py:24) including loratorch adapters on both towers."""
+    from bioscan_clip_tpu.interop.torch_import import (
+        convert_simple_clip_checkpoint,
+    )
+
+    torch.manual_seed(8)
+    tv = _Visual()
+    tt = _Text()
+    sd = _attach_synthetic_loratorch(tv, "open_clip_model.visual")
+    sd.update(_attach_synthetic_loratorch(tt, "open_clip_model"))
+    out = convert_simple_clip_checkpoint(sd)
+    assert "image_encoder" in out and "language_encoder" in out
+    img = out["image_encoder"]
+    txt = out["language_encoder"]["text"]
+    assert img["resblocks"]["in_proj"]["kernel"].shape[0] == 2
+    assert "lora_v_b" in img["resblocks"]
+    assert "lora_q_a" in txt["resblocks"]
+    # scaling alpha/r folded into b: b = 0.25 * B^T for r=4
+    A = sd["open_clip_model.transformer.resblocks.0.attn.q_lora_A"]
+    B = sd["open_clip_model.transformer.resblocks.0.attn.q_lora_B"]
+    np.testing.assert_allclose(
+        txt["resblocks"]["lora_q_a"][0], A.T, atol=0
+    )
+    np.testing.assert_allclose(
+        txt["resblocks"]["lora_q_b"][0], 0.25 * B.T, atol=1e-7
+    )

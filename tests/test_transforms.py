@@ -119,3 +119,21 @@ def test_rrc_box_sampling_bounds():
     assert (ratio > 0.74).all() and (ratio < 1.36).all()
     area_frac = (h * w) / (256 * 384)
     assert (area_frac >= 0.05).all() and (area_frac <= 1.001).all()
+
+
+def test_train_transform_jitter_flag():
+    """jitter=True appends ColorJitter(0.5 x4) — the INSECT train transform
+    (dataset_for_insect_dataset.py:116-118). Output stays in [0,1] and
+    differs from the unjittered pipeline under the same rng."""
+    import jax
+
+    from bioscan_clip_tpu.data.transforms import train_transform
+
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 256, size=(4, 64, 64, 3)).astype(np.uint8)
+    key = jax.random.PRNGKey(0)
+    plain = np.asarray(train_transform(imgs, key))
+    jit_ = np.asarray(train_transform(imgs, key, jitter=True))
+    assert jit_.shape == plain.shape == (4, 224, 224, 3)
+    assert jit_.min() >= 0.0 and jit_.max() <= 1.0
+    assert not np.allclose(jit_, plain)
