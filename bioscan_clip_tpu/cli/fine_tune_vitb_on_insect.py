@@ -95,14 +95,18 @@ def run(args, max_epochs=None, out=print):
 
     @jax.jit
     def feat(params, x):
+        if x.dtype == jnp.uint8:
+            x = eval_transform(x)
         return clf.apply(
-            {"params": params}, eval_transform(x), deterministic=True,
+            {"params": params}, x, deterministic=True,
             method=clf.get_feature,
         )
 
     feats = []
     for batch in all_loader:
-        feats.append(np.asarray(feat(state.params, batch["image_u8"])))
+        feats.append(np.asarray(feat(
+            state.params, batch.get("image_u8", batch.get("image"))
+        )))
     image_feature = np.concatenate(feats, axis=0).astype(np.float32)
     folder = os.path.join(
         args.project_root_path, "embedding_from_vitb_fine_tuned_on_insect",

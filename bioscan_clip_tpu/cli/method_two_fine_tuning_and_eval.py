@@ -51,16 +51,17 @@ def classifier_predictions(params, clf, mesh, loader, idx_to_all,
 
     @jax.jit
     def infer(params, x):
-        logits = clf.apply(
-            {"params": params}, eval_transform(x, normalize=openclip_norm),
-            deterministic=True,
-        )
+        if x.dtype == jnp.uint8:
+            x = eval_transform(x, normalize=openclip_norm)
+        logits = clf.apply({"params": params}, x, deterministic=True)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jax.lax.top_k(probs, 5)
 
     confidences, indices, gt = [], [], []
     for batch in loader:
-        xs, n = shard_batch_padded(batch["image_u8"], mesh)
+        xs, n = shard_batch_padded(
+            batch.get("image_u8", batch.get("image")), mesh
+        )
         vals, idxs = infer(params, xs)
         confidences.append(np.asarray(vals)[:n])
         indices.append(np.asarray(idxs)[:n])

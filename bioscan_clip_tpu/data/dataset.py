@@ -69,6 +69,9 @@ def construct_dataloader(
             split, path, args.bioscan_data.path_to_tsv_data
         )
 
+    tpu_cfg = getattr(args, "tpu", None)
+    eval_parity = bool(tpu_cfg.get("eval_host_parity_resize", True)) \
+        if tpu_cfg else True
     return BioscanLoader(
         path,
         split,
@@ -80,6 +83,8 @@ def construct_dataloader(
         shuffle=shuffle,
         labels=labels,
         decode_threads=getattr(mc, "num_workers", 8) * 2,
+        eval_parity=eval_parity,
+        openclip_norm=bool(getattr(mc, "for_open_clip", False)),
         process_index=process_index,
         process_count=process_count,
     )

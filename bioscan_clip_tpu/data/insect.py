@@ -93,6 +93,8 @@ class InsectLoader:
         decode_threads: int = 16,
         prefetch_depth: int = 2,
         host_resize_to: int = 256,
+        eval_parity: bool = True,
+        openclip_norm: bool = False,
     ):
         ins = args.insect_data
         with open(ins.species_to_other) as f:
@@ -109,6 +111,19 @@ class InsectLoader:
         self.epoch = 0
         self.prefetch_depth = prefetch_depth
         self.host_resize_to = host_resize_to
+        # torchvision-exact host eval pipeline (see BioscanLoader): INSECT
+        # images are variable-size, so this is also what keeps eval batches
+        # distortion-free
+        tpu_cfg = getattr(args, "tpu", None)
+        if tpu_cfg is not None:
+            eval_parity = bool(
+                tpu_cfg.get("eval_host_parity_resize", eval_parity)
+            )
+        openclip_norm = openclip_norm or bool(
+            getattr(args.model_config, "for_open_clip", False)
+        )
+        self.eval_parity = eval_parity and not for_training
+        self.openclip_norm = openclip_norm
         self.n = len(self.image_ids)
         self._pool = ThreadPoolExecutor(max_workers=decode_threads)
         self._images_h5 = None
@@ -187,25 +202,40 @@ class InsectLoader:
     def _make_batch(self, idx):
         g = self._open_images()
 
-        def load_one(i):
-            buf = bytes(np.asarray(g[self.image_ids[i]]).tobytes())
-            im = _decode_jpeg(buf)
-            if self.host_resize_to:
-                im = _host_resize_shorter(im, self.host_resize_to)
-            return im
+        if self.eval_parity:
+            from bioscan_clip_tpu.data.transforms import host_eval_image
 
-        imgs = list(self._pool.map(load_one, idx.tolist()))
-        shapes = {im.shape for im in imgs}
-        if len(shapes) > 1:
-            import cv2
+            def load_one(i):
+                buf = bytes(np.asarray(g[self.image_ids[i]]).tobytes())
+                return host_eval_image(
+                    _decode_jpeg(buf), normalize=self.openclip_norm
+                )
 
-            h0, w0 = imgs[0].shape[:2]
-            imgs = [
-                im if im.shape[:2] == (h0, w0) else cv2.resize(im, (w0, h0))
-                for im in imgs
-            ]
+            image_key, image = "image", np.stack(
+                list(self._pool.map(load_one, idx.tolist()))
+            )
+        else:
+            def load_one(i):
+                buf = bytes(np.asarray(g[self.image_ids[i]]).tobytes())
+                im = _decode_jpeg(buf)
+                if self.host_resize_to:
+                    im = _host_resize_shorter(im, self.host_resize_to)
+                return im
+
+            imgs = list(self._pool.map(load_one, idx.tolist()))
+            shapes = {im.shape for im in imgs}
+            if len(shapes) > 1:
+                import cv2
+
+                h0, w0 = imgs[0].shape[:2]
+                imgs = [
+                    im if im.shape[:2] == (h0, w0)
+                    else cv2.resize(im, (w0, h0))
+                    for im in imgs
+                ]
+            image_key, image = "image_u8", np.stack(imgs).astype(np.uint8)
         batch = {
-            "image_u8": np.stack(imgs).astype(np.uint8),
+            image_key: image,
             "dna": self.dna_tokens[idx],
             "language": {k: v[idx] for k, v in self.language.items()},
         }

@@ -90,6 +90,8 @@ class BioscanLoader:
         decode_threads: int = 16,
         prefetch_depth: int = 2,
         host_resize_to: int = 256,
+        eval_parity: bool = True,
+        openclip_norm: bool = False,
         process_index: int = 0,
         process_count: int = 1,
     ):
@@ -107,6 +109,12 @@ class BioscanLoader:
         self.decode_threads = decode_threads
         self.prefetch_depth = prefetch_depth
         self.host_resize_to = host_resize_to
+        # eval splits default to the torchvision-EXACT host pipeline
+        # (decode full-res -> float triangle resize -> center crop), so the
+        # checkpoint-parity path is the default path and variable-size
+        # sources can't distort (reference dataset.py:194-200)
+        self.eval_parity = eval_parity and not for_training
+        self.openclip_norm = openclip_norm
         self.process_index = process_index
         self.process_count = process_count
         self.n = len(self.reader)
@@ -172,7 +180,22 @@ class BioscanLoader:
 
     def _make_batch(self, idx) -> dict:
         batch = {}
-        if self.with_image and self._use_native:
+        if self.with_image and self.eval_parity:
+            from bioscan_clip_tpu.data.transforms import host_eval_image
+
+            bufs = self.reader.read_images_bytes(idx)
+            imgs = list(self._pool.map(_decode_jpeg, bufs))
+            batch["image"] = np.stack(
+                list(
+                    self._pool.map(
+                        lambda im: host_eval_image(
+                            im, normalize=self.openclip_norm
+                        ),
+                        imgs,
+                    )
+                )
+            )
+        if self.with_image and self._use_native and "image" not in batch:
             from bioscan_clip_tpu.data import native_io
 
             bufs = self.reader.read_images_bytes(idx)
@@ -187,7 +210,7 @@ class BioscanLoader:
                 except ValueError:
                     # corrupt image: python fallback
                     self._use_native = False
-        if self.with_image and "image_u8" not in batch:
+        if self.with_image and "image" not in batch and "image_u8" not in batch:
             bufs = self.reader.read_images_bytes(idx)
             imgs = list(self._pool.map(_decode_jpeg, bufs))
             if self.host_resize_to:

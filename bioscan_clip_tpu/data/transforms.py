@@ -31,14 +31,20 @@ CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
+def tv_resize_size(h: int, w: int, size: int):
+    """torchvision Resize(int) output size: shorter side == size, longer
+    side TRUNCATED (`int(size * long / short)`,
+    torchvision _compute_resized_output_size)."""
+    if h <= w:
+        return size, max(1, int(size * w / h))
+    return max(1, int(size * h / w)), size
+
+
 def resize_shorter_side(images, size: int = 256, method: str = "bilinear"):
     """torchvision Resize(size, antialias=True) parity: scale so the shorter
-    side == size, keep aspect (rounded like torchvision: round)."""
+    side == size, keep aspect (longer side truncated like torchvision)."""
     B, H, W, C = images.shape
-    if H <= W:
-        new_h, new_w = size, max(1, int(round(size * W / H)))
-    else:
-        new_h, new_w = max(1, int(round(size * H / W))), size
+    new_h, new_w = tv_resize_size(H, W, size)
     if (new_h, new_w) == (H, W):
         return images  # host pipeline already resized: skip the (costly)
         # same-size antialias resample
@@ -305,3 +311,83 @@ def train_transform(images_u8, rng, size: int = 224, resize_to: int = 256,
     if jitter:
         x = color_jitter(x, k_jit)
     return x
+
+
+# --------------------------------------------------------------------------
+# Host-side (numpy) torchvision-exact eval preprocessing
+# --------------------------------------------------------------------------
+# The checkpoint-parity eval path (reference dataset.py:194-200: ToTensor ->
+# Resize(256, antialias=True) -> CenterCrop(224)) reproduced bit-faithfully
+# on the host in float32. torchvision's antialias resize implements PIL's
+# separable triangle-filter algorithm on floats; so does this. Used by the
+# data pipeline for eval splits (variable-size sources -> one fixed
+# (224, 224, 3) float32 tensor per image), making the parity path the
+# DEFAULT eval path regardless of source image sizes.
+
+def _pil_triangle_weights(in_size: int, out_size: int):
+    """PIL precompute_coeffs (bilinear filter, support=1.0): per output
+    pixel, tap indices and normalized triangle weights."""
+    import numpy as np
+
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = filterscale  # bilinear support (1.0) * filterscale
+    centers = (np.arange(out_size, dtype=np.float64) + 0.5) * scale
+    xmin = np.maximum(np.trunc(centers - support + 0.5).astype(np.int64), 0)
+    xmax = np.minimum(
+        np.trunc(centers + support + 0.5).astype(np.int64), in_size
+    )
+    K = int((xmax - xmin).max())
+    idx = xmin[:, None] + np.arange(K)[None, :]
+    valid = idx < xmax[:, None]
+    w = 1.0 - np.abs((idx - centers[:, None] + 0.5) / filterscale)
+    w = np.where(valid, np.maximum(w, 0.0), 0.0)
+    w = w / w.sum(axis=1, keepdims=True)
+    return np.minimum(idx, in_size - 1), w.astype(np.float32)
+
+
+def host_antialias_resize(img: "np.ndarray", out_h: int, out_w: int):
+    """(H, W, C) float32 -> (out_h, out_w, C) float32, PIL/torchvision
+    antialiased bilinear (exact coefficients, float arithmetic)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.float32)
+    H, W, _ = img.shape
+    if H != out_h:
+        iy, wy = _pil_triangle_weights(H, out_h)
+        img = np.einsum("ok,okwc->owc", wy, img[iy], optimize=True)
+    if W != out_w:
+        ix, wx = _pil_triangle_weights(W, out_w)
+        img = np.einsum("ok,hokc->hoc", wx, img[:, ix], optimize=True)
+    return img
+
+
+def host_eval_image(img_u8: "np.ndarray", size: int = 224,
+                    resize_to: int = 256, normalize: bool = False):
+    """Full torchvision eval pipeline on host: ToTensor -> Resize(256,
+    antialias=True) -> CenterCrop(224) [-> CLIP Normalize], float32 HWC."""
+    import numpy as np
+
+    h, w = img_u8.shape[:2]
+    nh, nw = tv_resize_size(h, w, resize_to)
+    x = host_antialias_resize(
+        np.asarray(img_u8, np.float32) / np.float32(255.0), nh, nw
+    )
+    top = (nh - size) // 2 if nh >= size else 0
+    left = (nw - size) // 2 if nw >= size else 0
+    if nh < size or nw < size:  # torchvision pads; BIOSCAN never hits this
+        ph, pw = max(size - nh, 0), max(size - nw, 0)
+        x = np.pad(
+            x,
+            ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)),
+        )
+        nh, nw = x.shape[:2]
+        top, left = (nh - size) // 2, (nw - size) // 2
+    x = x[top:top + size, left:left + size]
+    if normalize:
+        import numpy as np
+
+        x = (x - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(
+            CLIP_STD, np.float32
+        )
+    return np.ascontiguousarray(x, dtype=np.float32)

@@ -122,7 +122,12 @@ def evaluate_classifier(
         target = label_batch_to_species_idx(
             batch["label_dicts"], unique_species_for_seen
         )
-        x = batch["image_u8"] if modality == "image" else batch["dna"]
+        # eval loaders ship either raw uint8 (device transform applies in
+        # `infer`) or host-parity float32 224² under "image"
+        x = (
+            batch.get("image_u8", batch.get("image"))
+            if modality == "image" else batch["dna"]
+        )
         xs, n = shard_batch_padded(x, mesh)
         preds = np.asarray(infer(params, xs))[:n]
         all_targets.append(target)

@@ -58,14 +58,25 @@ def test_loader_batches(args, dataset_path):
     batches = list(loader)
     assert len(batches) == 2  # 12 / 8 -> 8 + 4 (no drop for eval)
     b = batches[0]
-    assert b["image_u8"].shape[0] == 8
-    assert b["image_u8"].dtype == np.uint8
-    assert b["image_u8"].shape[3] == 3
+    # eval batches ship the torchvision-EXACT host-preprocessed tensor
+    # (float32 224², the checkpoint-parity path) by default
+    assert b["image"].shape == (8, 224, 224, 3)
+    assert b["image"].dtype == np.float32
     assert b["dna"].shape == (8, 133)
     assert b["language"]["input_ids"].shape == (8, 20)
     assert len(b["label_dicts"]) == 8
     assert len(b["ids"]) == 8
-    assert batches[1]["image_u8"].shape[0] == 4
+    assert batches[1]["image"].shape[0] == 4
+
+
+def test_loader_batches_uint8_fast_path(args, dataset_path):
+    """tpu.eval_host_parity_resize=false opts back into raw uint8 + device
+    resize (the throughput path)."""
+    args.cfg.merge({"tpu": {"eval_host_parity_resize": False}})
+    loader = construct_dataloader(args, "val_seen")
+    b = next(iter(loader))
+    assert b["image_u8"].dtype == np.uint8
+    assert b["image_u8"].shape[0] == 8
 
 
 def test_train_loader_drop_last_and_shuffle(args):

@@ -137,3 +137,57 @@ def test_train_transform_jitter_flag():
     assert jit_.shape == plain.shape == (4, 224, 224, 3)
     assert jit_.min() >= 0.0 and jit_.max() <= 1.0
     assert not np.allclose(jit_, plain)
+
+
+def _pil_float_resize(img_u8, out_w, out_h):
+    """PIL mode-'F' (float) bilinear resize per channel — the exact
+    coefficient algorithm torchvision's antialias=True tensor path
+    implements, without uint8 quantization."""
+    chans = []
+    for c in range(3):
+        im = Image.fromarray(img_u8[:, :, c].astype(np.float32), mode="F")
+        chans.append(
+            np.asarray(im.resize((out_w, out_h), Image.BILINEAR))
+        )
+    return np.stack(chans, axis=-1)
+
+
+@pytest.mark.parametrize("hw", [(512, 768), (300, 500), (515, 333), (97, 411)])
+def test_host_antialias_resize_matches_pil_float(hw):
+    """host_antialias_resize == PIL/torchvision triangle filter to float
+    precision, at arbitrary (including odd) source sizes."""
+    h, w = hw
+    img = _rand_img(h, w, seed=h + w)
+    nh, nw = T.tv_resize_size(h, w, 256)
+    ref = _pil_float_resize(img, nw, nh)
+    ours = T.host_antialias_resize(img.astype(np.float32), nh, nw)
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-5)
+
+
+def test_host_eval_image_full_pipeline():
+    """uint8 -> host_eval_image == ToTensor -> Resize(256, antialias) ->
+    CenterCrop(224) computed via PIL float resize."""
+    img = _rand_img(515, 333, seed=3)
+    nh, nw = T.tv_resize_size(515, 333, 256)
+    ref = _pil_float_resize(img, nw, nh) / 255.0
+    top, left = (nh - 224) // 2, (nw - 224) // 2
+    ref = ref[top:top + 224, left:left + 224]
+    ours = T.host_eval_image(img)
+    assert ours.shape == (224, 224, 3) and ours.dtype == np.float32
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+    # OpenCLIP normalize variant
+    ours_n = T.host_eval_image(img, normalize=True)
+    ref_n = (ref - np.asarray(T.CLIP_MEAN)) / np.asarray(T.CLIP_STD)
+    np.testing.assert_allclose(ours_n, ref_n, atol=1e-4, rtol=1e-4)
+
+
+def test_device_resize_close_to_host_parity_resize():
+    """The device (jax.image antialias) path stays filter-close to the
+    exact host path — quantifies the opt-out fast path's divergence."""
+    img = _rand_img(512, 768, seed=4).astype(np.float32) / 255.0
+    dev = np.asarray(
+        T.resize_shorter_side(jnp.asarray(img[None]), 256)
+    )[0]
+    host = T.host_antialias_resize(img, 256, 384)
+    assert np.abs(dev - host).mean() < 2e-3
