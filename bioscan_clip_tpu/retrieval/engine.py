@@ -98,6 +98,7 @@ def topk_search(
     key_chunk: int = 65536,
     query_chunk: int = 8192,
     use_pallas: Optional[bool] = None,
+    _interpret: bool = False,
 ):
     """Exact top-k inner-product search. Returns (similarities, indices) as
     numpy arrays, shapes (Bq, k) — the FAISS `index.search` contract.
@@ -119,19 +120,25 @@ def topk_search(
 
     if use_pallas is None:
         use_pallas = (
-            n_dev == 1
-            and jax.default_backend() == "tpu"
-            and n_keys >= 100_000
+            jax.default_backend() == "tpu" and n_keys >= 100_000 * n_dev
         )
     if use_pallas and n_dev == 1:
         from bioscan_clip_tpu.ops.topk_pallas import topk_search_pallas
 
-        return topk_search_pallas(q, ks, k_eff, query_chunk=min(query_chunk, 1024))
+        return topk_search_pallas(
+            q, ks, k_eff, query_chunk=min(query_chunk, 1024),
+            interpret=_interpret,
+        )
 
-    # pad keys so each device shard divides into whole chunks
-    shard = _round_up(-(-n_keys // n_dev), 1)
-    key_chunk = min(key_chunk, _round_up(shard, 8))
-    shard_pad = _round_up(shard, key_chunk)
+    PALLAS_TILE = 512
+    Q_BLOCK = 256
+    # pad keys so each device shard divides into whole chunks / kernel tiles
+    shard = -(-n_keys // n_dev)
+    if use_pallas:
+        shard_pad = _round_up(shard, PALLAS_TILE)
+    else:
+        key_chunk = min(key_chunk, _round_up(shard, 8))
+        shard_pad = _round_up(shard, key_chunk)
     n_pad = shard_pad * n_dev
     ks_p = np.zeros((n_pad, d), dtype=np.float32)
     ks_p[:n_keys] = ks
@@ -150,10 +157,21 @@ def topk_search(
                 n_local_valid = jnp.clip(
                     n_keys - dev * shard_pad, 0, shard_pad
                 )
-                vals, idxs = _topk_scan(
-                    qq, kk, n_local_valid, k_eff, key_chunk,
-                    axis_name=DATA_AXIS,
-                )
+                if use_pallas:
+                    # the fused MXU kernel is the per-shard local search
+                    # (the 2.7x win applies on every device of the mesh)
+                    from bioscan_clip_tpu.ops.topk_pallas import pallas_topk
+
+                    vals, idxs = pallas_topk(
+                        qq, kk, n_local_valid, k=k_eff, tile=PALLAS_TILE,
+                        q_block=min(Q_BLOCK, qq.shape[0]),
+                        interpret=_interpret,
+                    )
+                else:
+                    vals, idxs = _topk_scan(
+                        qq, kk, n_local_valid, k_eff, key_chunk,
+                        axis_name=DATA_AXIS,
+                    )
                 idxs = idxs + dev * shard_pad
                 vals_g = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
                 idxs_g = jax.lax.all_gather(idxs, DATA_AXIS, axis=1, tiled=True)
@@ -180,11 +198,18 @@ def topk_search(
 
     sims_out = np.empty((q.shape[0], k_eff), np.float32)
     idx_out = np.empty((q.shape[0], k_eff), np.int64)
+    if use_pallas and n_dev > 1:
+        # the kernel requires the query block count to divide evenly
+        query_chunk = _round_up(min(query_chunk, 4096), Q_BLOCK)
     for s in range(0, q.shape[0], query_chunk):
-        qs = jnp.asarray(q[s : s + query_chunk])
-        vals, idxs = search(qs, keys_sharded)
-        sims_out[s : s + qs.shape[0]] = np.asarray(vals)
-        idx_out[s : s + qs.shape[0]] = np.asarray(idxs, dtype=np.int64)
+        qs = q[s : s + query_chunk]
+        n_q = qs.shape[0]
+        if use_pallas and n_dev > 1 and n_q % min(Q_BLOCK, n_q) != 0:
+            pad = _round_up(n_q, Q_BLOCK) - n_q
+            qs = np.concatenate([qs, np.zeros((pad, d), np.float32)], axis=0)
+        vals, idxs = search(jnp.asarray(qs), keys_sharded)
+        sims_out[s : s + n_q] = np.asarray(vals)[:n_q]
+        idx_out[s : s + n_q] = np.asarray(idxs, dtype=np.int64)[:n_q]
     return sims_out, idx_out
 
 

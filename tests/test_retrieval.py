@@ -221,3 +221,29 @@ def test_full_sweep_and_reports(tmp_path, monkeypatch):
     j = json.load(open("logs/accuracy.json"))
     assert "encoded_image_feature" in j
     assert any("|" in l for l in lines)  # ASCII table printed
+
+
+def test_multi_device_pallas_path_exact():
+    """The Pallas fused kernel as the per-shard local search inside
+    shard_map (VERDICT r1 item 9): exact vs brute force on the 8-device
+    mesh, uneven shards + padded tail included (interpret mode on CPU)."""
+    from bioscan_clip_tpu.parallel.mesh import create_mesh
+    from bioscan_clip_tpu.retrieval.engine import topk_search
+
+    rng = np.random.default_rng(17)
+    n_keys, d, n_q, k = 3000, 32, 70, 5  # 3000/8 -> uneven, pads to 512
+    keys = rng.standard_normal((n_keys, d)).astype(np.float32)
+    queries = rng.standard_normal((n_q, d)).astype(np.float32)
+
+    mesh = create_mesh()
+    vals, idxs = topk_search(
+        queries, keys, k, mesh=mesh, use_pallas=True, _interpret=True,
+    )
+
+    sims = queries @ keys.T
+    ref_idx = np.argsort(-sims, axis=1)[:, :k]
+    ref_vals = np.take_along_axis(sims, ref_idx, axis=1)
+    np.testing.assert_allclose(vals, ref_vals, atol=1e-5, rtol=1e-5)
+    # indices may differ on exact ties; compare via values
+    got_vals = np.take_along_axis(sims, idxs.astype(np.int64), axis=1)
+    np.testing.assert_allclose(got_vals, ref_vals, atol=1e-5, rtol=1e-5)
