@@ -61,6 +61,27 @@ def _host_resize_shorter(img: np.ndarray, size: int) -> np.ndarray:
     return cv2.resize(img, (nw, nh), interpolation=interp)
 
 
+def _fit_to_slot(im: np.ndarray, h0: int, w0: int) -> np.ndarray:
+    """Fit (h, w, 3) into a fixed (h0, w0) slot: center crop if larger,
+    edge-replicate pad if smaller — byte-identical geometry to the native
+    decoder's place_center (native/bscan_io.cc)."""
+    h, w = im.shape[:2]
+    if h > h0:
+        top = (h - h0) // 2
+        im = im[top : top + h0]
+    if w > w0:
+        left = (w - w0) // 2
+        im = im[:, left : left + w0]
+    h, w = im.shape[:2]
+    if h < h0 or w < w0:
+        pt = (h0 - h) // 2
+        pl = (w0 - w) // 2
+        im = np.pad(
+            im, ((pt, h0 - h - pt), (pl, w0 - w - pl), (0, 0)), mode="edge"
+        )
+    return im
+
+
 class BioscanLoader:
     """Iterable over batch dicts for one split.
 
@@ -223,16 +244,13 @@ class BioscanLoader:
                     )
                 )
             shapes = {im.shape for im in imgs}
-            if len(shapes) > 1:  # rare: unify to the first shape
-                import cv2
-
+            if len(shapes) > 1:
+                # rare aspect outliers: fit to the first image's slot with
+                # the SAME center-crop / edge-replicate-pad geometry as the
+                # native decoder (bscan_io.cc place_center), so the two host
+                # paths produce identical batches.
                 h0, w0 = imgs[0].shape[:2]
-                imgs = [
-                    im
-                    if im.shape[:2] == (h0, w0)
-                    else cv2.resize(im, (w0, h0))
-                    for im in imgs
-                ]
+                imgs = [_fit_to_slot(im, h0, w0) for im in imgs]
             batch["image_u8"] = np.stack(imgs).astype(np.uint8)
         if self.with_dna:
             batch["dna"] = self.reader.read_dna_tokens(idx)

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
+from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha
 
 NEG_INF = -1e9
 
@@ -84,24 +85,36 @@ class BertLayer(nn.Module):
             v = v + lora_delta(x, a_v, b_v, self.dtype)
 
         B, N, _ = x.shape
-        q = q.reshape(B, N, h, hd)
-        k = k.reshape(B, N, h, hd)
-        v = v.reshape(B, N, h, hd)
-        # scores/softmax in the module compute dtype (see vit.py note);
-        # fp32 modules keep exact fp32 softmax for checkpoint parity.
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=self.dtype
-        ) * (hd**-0.5)
-        if attn_bias is not None:
-            attn = attn + attn_bias.astype(attn.dtype)  # (B,1,1,N) mask
-        attn = jax.nn.softmax(attn, axis=-1)
-        if c.attention_dropout > 0:
-            attn = nn.Dropout(c.attention_dropout)(
-                attn, deterministic=deterministic
-            )
-        y = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn.astype(self.dtype), v
-        ).reshape(B, N, d)
+        use_fused = fused_attention_enabled() and (
+            deterministic or c.attention_dropout == 0
+        )
+        if use_fused:
+            # Fused Pallas MHA (ops/attention.py): fp32 softmax in VMEM, no
+            # (B, h, N, N) HBM round trip. Attention dropout forces the XLA
+            # path during training (the kernel has no in-kernel RNG yet).
+            bias2d = None
+            if attn_bias is not None:
+                bias2d = attn_bias[:, 0, 0, :]  # (B, N) key-padding bias
+            y = mha(q, k, v, heads=h, bias=bias2d, scale=hd**-0.5)
+        else:
+            q = q.reshape(B, N, h, hd)
+            k = k.reshape(B, N, h, hd)
+            v = v.reshape(B, N, h, hd)
+            # scores/softmax in the module compute dtype (see vit.py note);
+            # fp32 modules keep exact fp32 softmax for checkpoint parity.
+            attn = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, preferred_element_type=self.dtype
+            ) * (hd**-0.5)
+            if attn_bias is not None:
+                attn = attn + attn_bias.astype(attn.dtype)  # (B,1,1,N) mask
+            attn = jax.nn.softmax(attn, axis=-1)
+            if c.attention_dropout > 0:
+                attn = nn.Dropout(c.attention_dropout)(
+                    attn, deterministic=deterministic
+                )
+            y = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn.astype(self.dtype), v
+            ).reshape(B, N, d)
         y = nn.Dense(d, dtype=self.dtype, name="attn_out")(y)
         if c.hidden_dropout > 0:
             y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)

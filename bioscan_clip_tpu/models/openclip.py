@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
+from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha_packed
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,15 +86,21 @@ class OpenClipBlock(nn.Module):
                 deltas.append(lora_delta(y, a, b, self.dtype))
             qkv = qkv + jnp.concatenate(deltas, axis=-1)
         B, N, _ = qkv.shape
-        qkv = qkv.reshape(B, N, 3, h, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=self.dtype
-        ) * (hd**-0.5)
-        if mask is not None:
-            attn = attn + mask.astype(attn.dtype)
-        attn = jax.nn.softmax(attn, axis=-1)
-        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, d)
+        if fused_attention_enabled():
+            # Fused Pallas MHA with the (N, N) causal mask applied in-kernel
+            # (ops/attention.py); scores never touch HBM.
+            m2 = None if mask is None else mask.reshape(mask.shape[-2:])
+            y = mha_packed(qkv, heads=h, scale=hd**-0.5, mask=m2)
+        else:
+            qkv = qkv.reshape(B, N, 3, h, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            attn = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, preferred_element_type=self.dtype
+            ) * (hd**-0.5)
+            if mask is not None:
+                attn = attn + mask.astype(attn.dtype)
+            attn = jax.nn.softmax(attn, axis=-1)
+            y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, d)
         y = nn.Dense(d, dtype=self.dtype, name="out_proj")(y)
         x = x + y
 

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
+from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha_packed
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,17 +74,21 @@ class ViTBlock(nn.Module):
             qkv = qkv.at[..., :d].add(dq).at[..., 2 * d :].add(dv)
 
         B, N, _ = qkv.shape
-        qkv = qkv.reshape(B, N, 3, h, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        # attention scores/softmax run in the module compute dtype: in bf16
-        # mode this halves the HBM traffic of the (B, h, N, N) matrix (the
-        # dominant attention cost at these tiny sequence lengths); fp32
-        # modules (the checkpoint-parity path) keep exact fp32 softmax.
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=self.dtype
-        ) * (hd**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, d)
+        if fused_attention_enabled():
+            # Fused Pallas MHA: QK^T -> fp32 softmax -> AV entirely in VMEM;
+            # the (B, h, N, N) scores never touch HBM (ops/attention.py).
+            y = mha_packed(qkv, heads=h, scale=hd**-0.5)
+        else:
+            qkv = qkv.reshape(B, N, 3, h, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            # attention scores/softmax run in the module compute dtype: in
+            # bf16 mode this halves the HBM traffic of the (B, h, N, N)
+            # matrix; fp32 modules keep exact fp32 softmax.
+            attn = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, preferred_element_type=self.dtype
+            ) * (hd**-0.5)
+            attn = jax.nn.softmax(attn, axis=-1)
+            y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, d)
         y = nn.Dense(d, dtype=self.dtype, name="proj")(y)
         x = x + y
 

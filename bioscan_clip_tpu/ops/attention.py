@@ -1,0 +1,301 @@
+"""Fused multi-head attention Pallas kernel for the short-sequence towers.
+
+Why a kernel: XLA materializes the (B, h, N, N) score/probability matrices
+in HBM between the QK^T matmul, the softmax, and the AV matmul — at the
+flagship shapes (ViT-B: B=256, h=12, N=197) that is ~240 MB of bf16 traffic
+per layer read/written multiple times, and the 197-wide lane dimension pads
+to 256 on every store. At these sequence lengths the *entire* attention for
+one batch row fits in VMEM, so the kernel computes QK^T -> softmax -> AV
+per (batch,) grid instance without the scores ever leaving the chip, with
+fp32 softmax (an accuracy upgrade over the bf16-softmax XLA path it
+replaces — see models/vit.py history).
+
+Two entry points matching the two tower layouts (no host/device transposes):
+- `mha_packed(qkv, heads=...)`  — ViT's fused-qkv Dense output (B, N, 3D)
+  (reference timm attention: bioscanclip/model/image_encoder.py:42-48).
+- `mha(q, k, v, heads=..., bias=...)` — BERT's separate q/k/v Dense outputs
+  (B, N, D) each, with an optional additive key-padding bias (B, N)
+  (HF BertSelfAttention semantics: dna_encoder.py / language_encoder.py).
+
+Both are `jax.custom_vjp`: the forward is the Pallas kernel, the backward
+recomputes the probabilities with plain XLA einsums (cheap at these N; no
+stored (B, h, N, N) residuals, so training *saves* the probability tensor's
+HBM round-trip in the forward).
+
+Gating: `fused_attention_enabled()` — on for the TPU backend, overridable
+with BSCAN_FUSED_ATTENTION=0/1. CPU tests exercise the kernel with
+`interpret=True`.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    """True when ops traced *now* will run on a TPU. Respects an active
+    `jax.default_device(cpu)` context (e.g. host-side model.init on a TPU
+    host), where a compiled pallas_call would fail."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+def fused_attention_enabled() -> bool:
+    v = os.environ.get("BSCAN_FUSED_ATTENTION", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return _on_tpu()
+
+
+def _attend_one_row(q, k, v, bias_row, heads: int, scale: float, o_ref):
+    """q/k/v: (N, D) VMEM values; bias_row: (1, N) fp32 or None.
+
+    Writes (N, D) into o_ref[0]. Unrolled over heads: each head is a
+    (N, hd) @ (hd, N) MXU matmul -> fp32 softmax in VMEM -> (N, N) @ (N, hd).
+    """
+    n, d = q.shape
+    hd = d // heads
+    for i in range(heads):
+        lo = i * hd
+        qh = q[:, lo : lo + hd]
+        kh = k[:, lo : lo + hd]
+        vh = v[:, lo : lo + hd]
+        s = jax.lax.dot_general(
+            qh,
+            kh,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias_row is not None:
+            s = s + bias_row  # (1, N) broadcasts over query rows
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        oh = jnp.dot(
+            p.astype(v.dtype), vh, preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, lo : lo + hd] = oh.astype(o_ref.dtype)
+
+
+def _packed_kernel(heads, scale, qkv_ref, o_ref):
+    d = o_ref.shape[-1]
+    qkv = qkv_ref[0]
+    _attend_one_row(
+        qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :], None, heads, scale,
+        o_ref,
+    )
+
+
+def _packed_mask_kernel(heads, scale, qkv_ref, m_ref, o_ref):
+    d = o_ref.shape[-1]
+    qkv = qkv_ref[0]
+    _attend_one_row(
+        qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :],
+        m_ref[:].astype(jnp.float32), heads, scale, o_ref,
+    )
+
+
+def _split_kernel(heads, scale, q_ref, k_ref, v_ref, o_ref):
+    _attend_one_row(q_ref[0], k_ref[0], v_ref[0], None, heads, scale, o_ref)
+
+
+def _split_bias_kernel(heads, scale, q_ref, k_ref, v_ref, b_ref, o_ref):
+    # b_ref block is (1, 1, N) — TPU requires the trailing two block dims be
+    # full-size or (8, 128)-aligned, so the (B, N) bias ships as (B, 1, N).
+    _attend_one_row(
+        q_ref[0], k_ref[0], v_ref[0], b_ref[0].astype(jnp.float32), heads,
+        scale, o_ref,
+    )
+
+
+def _row_spec(n, d):
+    return pl.BlockSpec((1, n, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _pallas_mha_packed(qkv, mask, heads, scale, interpret):
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    specs = [_row_spec(n, d3)]
+    args = [qkv]
+    if mask is None:
+        kern = functools.partial(_packed_kernel, heads, scale)
+    else:
+        # (N, N) additive score mask shared across the batch (causal text)
+        kern = functools.partial(_packed_mask_kernel, heads, scale)
+        specs.append(
+            pl.BlockSpec((n, n), lambda b: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(mask)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=specs,
+        out_specs=_row_spec(n, d),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _pallas_mha_split(q, k, v, bias, heads, scale, interpret):
+    b, n, d = q.shape
+    specs = [_row_spec(n, d)] * 3
+    args = [q, k, v]
+    if bias is None:
+        kern = functools.partial(_split_kernel, heads, scale)
+    else:
+        kern = functools.partial(_split_bias_kernel, heads, scale)
+        specs.append(
+            pl.BlockSpec(
+                (1, 1, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(bias[:, None, :])
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=specs,
+        out_specs=_row_spec(n, d),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _xla_probs(q, k, bias, heads, scale, mask=None):
+    """Reference probabilities in fp32, (B, h, N, N) — backward recompute.
+
+    bias: optional (B, N) key-padding bias. mask: optional (N, N) additive
+    score mask shared across the batch (causal text attention)."""
+    b, n, d = q.shape
+    hd = d // heads
+    qh = q.reshape(b, n, heads, hd)
+    kh = k.reshape(b, n, heads, hd)
+    s = jnp.einsum(
+        "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        s = s + bias[:, None, None, :].astype(jnp.float32)
+    if mask is not None:
+        s = s + mask[None, None, :, :].astype(jnp.float32)
+    return jax.nn.softmax(s, axis=-1)
+
+
+def xla_mha(q, k, v, bias, heads, scale, mask=None):
+    """Pure-XLA fused-semantics reference (fp32 softmax). Used by tests and
+    as the non-TPU fallback with identical numerics contract."""
+    b, n, d = q.shape
+    hd = d // heads
+    p = _xla_probs(q, k, bias, heads, scale, mask)
+    vh = v.reshape(b, n, heads, hd)
+    o = jnp.einsum(
+        "bhnm,bmhd->bnhd", p.astype(v.dtype), vh,
+        preferred_element_type=jnp.float32,
+    )
+    return o.reshape(b, n, d).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _mha_op(heads, scale, interpret, q, k, v, bias):
+    return _pallas_mha_split(q, k, v, bias, heads, scale, interpret)
+
+
+def _mha_op_fwd(heads, scale, interpret, q, k, v, bias):
+    out = _pallas_mha_split(q, k, v, bias, heads, scale, interpret)
+    return out, (q, k, v, bias)
+
+
+def _mha_bwd_math(heads, scale, res, g, mask=None):
+    q, k, v, bias = res
+    b, n, d = q.shape
+    hd = d // heads
+    p = _xla_probs(q, k, bias, heads, scale, mask)  # (B, h, N, N) fp32
+    gh = g.reshape(b, n, heads, hd)
+    vh = v.reshape(b, n, heads, hd)
+    qh = q.reshape(b, n, heads, hd)
+    kh = k.reshape(b, n, heads, hd)
+    pc = p.astype(g.dtype)
+    dv = jnp.einsum("bhnm,bnhd->bmhd", pc, gh)
+    dp = jnp.einsum(
+        "bnhd,bmhd->bhnm", gh, vh, preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # fp32
+    dsc = (ds * scale).astype(g.dtype)
+    dq = jnp.einsum("bhnm,bmhd->bnhd", dsc, kh).reshape(b, n, d)
+    dk = jnp.einsum("bhnm,bnhd->bmhd", dsc, qh).reshape(b, n, d)
+    dbias = None
+    if bias is not None:
+        # never used in practice (bias derives from an integer mask); XLA
+        # dead-code-eliminates this reduction when the cotangent is unused.
+        dbias = jnp.sum(ds, axis=(1, 2)).astype(bias.dtype)
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.reshape(b, n, d).astype(v.dtype),
+        dbias,
+    )
+
+
+def _mha_op_bwd(heads, scale, interpret, res, g):
+    return _mha_bwd_math(heads, scale, res, g)
+
+
+_mha_op.defvjp(_mha_op_fwd, _mha_op_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _mha_packed_op(heads, scale, interpret, qkv, mask):
+    return _pallas_mha_packed(qkv, mask, heads, scale, interpret)
+
+
+def _mha_packed_op_fwd(heads, scale, interpret, qkv, mask):
+    return _pallas_mha_packed(qkv, mask, heads, scale, interpret), (qkv, mask)
+
+
+def _mha_packed_op_bwd(heads, scale, interpret, res, g):
+    qkv, mask = res
+    d = qkv.shape[-1] // 3
+    dq, dk, dv, _ = _mha_bwd_math(
+        heads, scale,
+        (qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :], None), g,
+        mask=mask,
+    )
+    return (jnp.concatenate([dq, dk, dv], axis=-1), None)
+
+
+_mha_packed_op.defvjp(_mha_packed_op_fwd, _mha_packed_op_bwd)
+
+
+def mha(q, k, v, *, heads: int, bias=None, scale: float | None = None,
+        interpret: bool | None = None):
+    """Fused attention over separate (B, N, D) q/k/v; optional (B, N) additive
+    key bias (0 / -1e9 padding mask). Returns (B, N, D) in q.dtype.
+
+    interpret=None auto-selects the Pallas interpreter off-TPU (CPU tests
+    with BSCAN_FUSED_ATTENTION=1 run the kernel interpreted)."""
+    if scale is None:
+        scale = (q.shape[-1] // heads) ** -0.5
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _mha_op(heads, float(scale), interpret, q, k, v, bias)
+
+
+def mha_packed(qkv, *, heads: int, scale: float | None = None,
+               mask=None, interpret: bool | None = None):
+    """Fused attention over a packed (B, N, 3D) qkv (q|k|v along the last
+    axis, heads-major within each third — the timm/torch fused-qkv layout).
+    `mask`: optional (N, N) additive score mask shared across the batch
+    (OpenCLIP's causal text mask)."""
+    if scale is None:
+        scale = (qkv.shape[-1] // 3 // heads) ** -0.5
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _mha_packed_op(heads, float(scale), interpret, qkv, mask)

@@ -469,6 +469,25 @@ def train_epoch(
     t_start = time.perf_counter()
     n_samples = 0
     tracing = False
+
+    # Per-step loss logging with a ONE-STEP delay: step i's device scalar is
+    # fetched after step i+1 is enqueued, so the host never stalls the device
+    # pipeline. Full per-step loss curves (reference train_epoch.py:58-59
+    # logs every step) at TPU-async cost.
+    pending = None  # (step index, device loss) of the previous step
+
+    def record(idx, loss_dev):
+        loss_v = float(loss_dev)
+        losses.append(loss_v)
+        if logger is not None and (idx % log_every == 0 or idx < 3):
+            logger(
+                f"epoch {epoch}/{total_epochs} step {idx} "
+                f"loss {loss_v:.4f} "
+                f"({n_samples / (time.perf_counter() - t_start):.1f} samples/s)"
+            )
+        if wandb_run is not None:
+            wandb_run.log({"loss": loss_v, "epoch": epoch, "step": idx})
+
     for i, batch in enumerate(dataloader):
         if profile_dir and i == 0:
             jax.profiler.start_trace(profile_dir)
@@ -476,24 +495,17 @@ def train_epoch(
         batch = shard_batch(device_batch(batch), mesh)
         n_samples += int(batch["labels"].shape[0])
         state, loss = train_step(state, batch, rng)
+        if pending is not None:
+            record(*pending)
+        pending = (i, loss)
         if tracing and i + 1 >= profile_steps:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             tracing = False
             if logger is not None:
                 logger(f"profiler trace ({profile_steps} steps) -> {profile_dir}")
-        if (i % log_every == 0 or i < 3) and logger is not None:
-            loss_v = float(loss)
-            losses.append(loss_v)
-            logger(
-                f"epoch {epoch}/{total_epochs} step {i} "
-                f"loss {loss_v:.4f} "
-                f"({n_samples / (time.perf_counter() - t_start):.1f} samples/s)"
-            )
-            if wandb_run is not None:
-                wandb_run.log({"loss": loss_v, "epoch": epoch})
-        else:
-            losses.append(None)
+    if pending is not None:
+        record(*pending)
     if tracing:
         jax.profiler.stop_trace()
     # block on the last step so epoch timing is honest
@@ -502,4 +514,5 @@ def train_epoch(
     return state, {
         "epoch_time_s": dur,
         "samples_per_s": n_samples / dur if dur > 0 else 0.0,
+        "mean_loss": float(np.mean(losses)) if losses else float("nan"),
     }

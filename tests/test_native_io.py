@@ -50,7 +50,10 @@ def test_loader_demotes_native_for_upscale(tmp_path):
     p = str(tmp_path / "n.hdf5")
     build_synthetic_dataset(p, n_classes=2, per_class=4)
     args = SyntheticArgs(p, batch_size=4)
+    # eval loaders default to the host eval-parity path (batch["image"]);
+    # the native u8 path is the training/no-parity route.
     loader = construct_dataloader(args, "val_seen")
+    loader.eval_parity = False
     assert loader._use_native  # optimistic until the first-image probe
     b = next(iter(loader))
     assert not loader._use_native
@@ -79,7 +82,36 @@ def test_loader_native_path_on_downscale(tmp_path):
     }
     p = str(tmp_path / "big.hdf5")
     write_split_hdf5(p, {"val_seen": rec})
-    loader = BioscanLoader(p, "val_seen", batch_size=3)
+    loader = BioscanLoader(p, "val_seen", batch_size=3, eval_parity=False)
     b = next(iter(loader))
     assert loader._use_native
     assert b["image_u8"].shape == (3, 256, 384, 3)
+
+
+def test_fit_to_slot_matches_native_place_center():
+    """Aspect outliers: the Python fallback's _fit_to_slot and the native
+    decoder's place_center must produce the same slot geometry (VERDICT r1
+    weak #8 — the paths previously diverged silently)."""
+    from bioscan_clip_tpu.data.pipeline import _fit_to_slot
+
+    # odd-aspect source: resized shorter-side-48 gives (48, 90) vs the
+    # (48, 72) slot -> center crop; and a (48, 60) one -> edge pad.
+    for src_size, seed in [((120, 64), 5), ((80, 64), 6)]:
+        buf = make_jpeg((90, 120, 40), size=src_size, seed=seed)
+        native = native_io.decode_batch(
+            [buf], target_short=48, out_h=48, out_w=72
+        )[0]
+        # python path: decode full-res, shorter-side resize, fit to slot
+        import io
+
+        from PIL import Image
+
+        from bioscan_clip_tpu.data.pipeline import _host_resize_shorter
+
+        im = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+        im = _host_resize_shorter(im, 48)
+        fitted = _fit_to_slot(im, 48, 72)
+        assert fitted.shape == native.shape
+        # decode/resize filters differ slightly; geometry must agree
+        diff = np.abs(fitted.astype(int) - native.astype(int))
+        assert diff.mean() < 8.0
