@@ -52,11 +52,23 @@ def make_batch(B):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variant", choices=["grad", "fused", "flat"],
-                    default="fused")
+    ap.add_argument(
+        "--variant",
+        choices=["grad", "fused", "flat", "update", "fwd"],
+        default="fused",
+    )
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--no-aug", action="store_true",
+                    help="feed pre-transformed float images (skip the "
+                         "device-side train augmentation)")
+    ap.add_argument("--no-dropout", action="store_true",
+                    help="deterministic towers (no dropout masks)")
+    ap.add_argument("--rbg", action="store_true",
+                    help="use the TPU-native RBG PRNG for all keys")
     args = ap.parse_args()
+    if args.rbg:
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from __graft_entry__ import _flagship_model
     from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
@@ -78,9 +90,16 @@ def main():
     batch = shard_batch(device_batch(make_batch(args.batch)), mesh)
     rng = jax.random.PRNGKey(7)
 
-    if args.variant == "grad":
-        import functools
+    if args.no_aug:
+        from bioscan_clip_tpu.data.transforms import train_transform
 
+        img = jax.jit(train_transform)(
+            batch["image_u8"], jax.random.PRNGKey(3)
+        )
+        batch = dict(batch, image=img)
+        del batch["image_u8"]
+
+    if args.variant in ("grad", "fwd", "update"):
         from bioscan_clip_tpu.data.transforms import train_transform
         from bioscan_clip_tpu.losses.contrastive import (
             multimodal_contrastive_loss,
@@ -93,41 +112,83 @@ def main():
 
         labels = param_labels(params)
         trainable, frozen = partition_params(params, labels)
+        det = bool(args.no_dropout)
 
-        @jax.jit
-        def step(trainable, batch, r, carry):
-            a, ri, rd, rt = jax.random.split(jax.random.fold_in(r, carry[0]), 4)
-
-            def loss_f(tr):
-                p = merge_partitions(tr, frozen)
+        def loss_for(tr, batch, a, ri, rd, rt):
+            p = merge_partitions(tr, frozen)
+            rngs = (lambda r: None if det else {"dropout": r})
+            img = batch.get("image")
+            if img is None:
                 img = train_transform(batch["image_u8"], a)
-                ei = model.apply({"params": p}, img, deterministic=False,
-                                 rngs={"dropout": ri},
-                                 method=model.encode_image)
-                ed = model.apply({"params": p}, batch["dna"],
-                                 deterministic=False, rngs={"dropout": rd},
-                                 method=model.encode_dna)
-                et = model.apply({"params": p}, batch["language"],
-                                 deterministic=False, rngs={"dropout": rt},
-                                 method=model.encode_language)
-                return multimodal_contrastive_loss(
-                    {"image": ei, "dna": ed, "language": et},
-                    batch["labels"], 1.0 / 0.07,
+            ei = model.apply({"params": p}, img, deterministic=det,
+                             rngs=rngs(ri), method=model.encode_image)
+            ed = model.apply({"params": p}, batch["dna"],
+                             deterministic=det, rngs=rngs(rd),
+                             method=model.encode_dna)
+            et = model.apply({"params": p}, batch["language"],
+                             deterministic=det, rngs=rngs(rt),
+                             method=model.encode_language)
+            return multimodal_contrastive_loss(
+                {"image": ei, "dna": ed, "language": et},
+                batch["labels"], 1.0 / 0.07,
+            )
+
+        if args.variant == "update":
+            # optimizer-only: masked AdamW over a fixed gradient tree
+            import optax
+
+            from bioscan_clip_tpu.train.state import create_train_state
+
+            state = create_train_state(model, params, lambda s: 1e-3)
+            fixed_g = jax.tree.map(jnp.ones_like, state.params)
+
+            @jax.jit
+            def step(state, carry):
+                s2 = state.apply_gradients(
+                    jax.tree.map(lambda g: g * (1.0 + carry * 1e-9), fixed_g)
                 )
+                return s2, carry + 1.0
 
-            loss, g = jax.value_and_grad(loss_f)(trainable)
-            return (carry[0] + 1, carry[1] + loss)
+            carry = jnp.float32(0)
+            t0 = time.perf_counter()
+            state, carry = step(state, carry)
+            float(carry)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                state, carry = step(state, carry)
+            float(carry)
+            dur = time.perf_counter() - t0
+        else:
+            @jax.jit
+            def step(trainable, batch, r, carry):
+                a, ri, rd, rt = jax.random.split(
+                    jax.random.fold_in(r, carry[0]), 4
+                )
+                if args.variant == "fwd":
+                    loss = loss_for(trainable, batch, a, ri, rd, rt)
+                else:
+                    loss, g = jax.value_and_grad(loss_for)(
+                        trainable, batch, a, ri, rd, rt
+                    )
+                    # keep the backward alive against DCE
+                    gsum = jax.tree.reduce(
+                        lambda acc, x: acc + jnp.sum(x).astype(jnp.float32),
+                        g, jnp.float32(0),
+                    )
+                    loss = loss + gsum * 1e-30
+                return (carry[0] + 1, carry[1] + loss)
 
-        carry = (jnp.int32(0), jnp.float32(0))
-        t0 = time.perf_counter()
-        carry = step(trainable, batch, rng, carry)
-        float(carry[1])
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
+            carry = (jnp.int32(0), jnp.float32(0))
+            t0 = time.perf_counter()
             carry = step(trainable, batch, rng, carry)
-        float(carry[1])
-        dur = time.perf_counter() - t0
+            float(carry[1])
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                carry = step(trainable, batch, rng, carry)
+            float(carry[1])
+            dur = time.perf_counter() - t0
     else:
         if args.variant == "fused":
             from bioscan_clip_tpu.train.loop import make_train_step
