@@ -41,10 +41,10 @@ BATCH = 256
 STEPS = 20
 
 
-def _init_flagship(dtype=jnp.bfloat16):
+def _init_flagship(dtype=jnp.bfloat16, remat=False):
     from __graft_entry__ import _flagship_model
 
-    model = _flagship_model(dtype=dtype)
+    model = _flagship_model(dtype=dtype, remat=remat)
     with jax.default_device(jax.devices("cpu")[0]):
         params = model.init(
             jax.random.PRNGKey(0),
@@ -60,12 +60,13 @@ def _init_flagship(dtype=jnp.bfloat16):
     return model, params
 
 
-def main_train(batch: int, steps: int = 8, variant: str = "flat"):
+def main_train(batch: int, steps: int = 8, variant: str = "flat",
+               remat: bool = False):
     """Full LoRA contrastive train-step throughput (one chip)."""
     from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from bioscan_clip_tpu.train.loop import device_batch
 
-    model, params = _init_flagship()
+    model, params = _init_flagship(remat=remat)
     mesh = create_mesh()
     rng = np.random.default_rng(0)
     b = {
@@ -123,6 +124,7 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat"):
         "vs_a100_estimate": round(samples_per_s / A100_TRAIN_EST, 2),
         "batch": batch,
         "variant": variant,
+        "remat": remat,
         "step_ms": round(1000 * dur / steps, 2),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
@@ -213,6 +215,6 @@ if __name__ == "__main__":
             else 128
         )
         variant = "fused" if "--fused-state" in sys.argv else "flat"
-        main_train(bi, variant=variant)
+        main_train(bi, variant=variant, remat="--remat" in sys.argv)
     else:
         main()

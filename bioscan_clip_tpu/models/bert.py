@@ -46,6 +46,8 @@ class BertConfig:
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     ln_eps: float = 1e-12
+    # Per-layer remat inside the nn.scan (see ViTConfig.remat).
+    remat: bool = False
 
 
 BARCODE_BERT_CONFIG = BertConfig(vocab_size=1027)
@@ -177,8 +179,13 @@ class BertEncoder(nn.Module):
                 attention_mask[:, None, None, :] > 0, 0.0, NEG_INF
             ).astype(jnp.float32)
 
+        layer_cls = BertLayer
+        if c.remat:
+            layer_cls = nn.remat(
+                BertLayer, prevent_cse=False, static_argnums=(2,)
+            )
         layer = nn.scan(
-            BertLayer,
+            layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=c.num_layers,

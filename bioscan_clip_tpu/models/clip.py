@@ -90,11 +90,17 @@ def load_clip_model(args, dtype=jnp.bfloat16):
     Returns the (uninitialized) Flax module. Parameter initialization /
     pretrained-weight loading happens in train/state.py + interop/, keeping
     model *structure* separate from *weights* (functional JAX style).
+
+    `tpu.remat: true` in the config enables per-layer rematerialization in
+    every transformer tower (see ViTConfig.remat) — same params/grads,
+    O(layers) less activation HBM in the train step.
     """
     mc = args.model_config
     disable_lora = bool(getattr(mc, "disable_lora", False))
     rank = 0 if disable_lora else 4
     output_dim = mc.output_dim
+    tpu_cfg = getattr(args, "tpu", None)
+    remat = bool(tpu_cfg.get("remat", False)) if tpu_cfg else False
 
     image_encoder = None
     dna_encoder = None
@@ -116,19 +122,21 @@ def load_clip_model(args, dtype=jnp.bfloat16):
 
         image_encoder = OpenClipImageTower(
             dataclasses.replace(
-                OpenClipVisionConfig(), lora_rank=rank, output_dim=output_dim
+                OpenClipVisionConfig(), lora_rank=rank, output_dim=output_dim,
+                remat=remat,
             ),
             dtype=dtype,
         )
         language_encoder = OpenClipTextAdapter(
             dataclasses.replace(
-                OpenClipTextConfig(), lora_rank=rank, output_dim=output_dim
+                OpenClipTextConfig(), lora_rank=rank, output_dim=output_dim,
+                remat=remat,
             ),
             dtype=dtype,
         )
         if hasattr(mc, "dna"):
             dna_encoder = BarcodeBertDnaEncoder(
-                dataclasses.replace(BARCODE_BERT_CONFIG, lora_rank=rank),
+                dataclasses.replace(BARCODE_BERT_CONFIG, lora_rank=rank, remat=remat),
                 output_dim=output_dim,
                 dtype=dtype,
             )
@@ -141,7 +149,8 @@ def load_clip_model(args, dtype=jnp.bfloat16):
     if hasattr(mc, "image"):
         if mc.image.input_type == "image":
             image_encoder = ViT(
-                ViTConfig(num_classes=output_dim, lora_rank=rank), dtype=dtype
+                ViTConfig(num_classes=output_dim, lora_rank=rank, remat=remat),
+                dtype=dtype,
             )
         else:
             image_encoder = MLPEncoder(
@@ -152,7 +161,7 @@ def load_clip_model(args, dtype=jnp.bfloat16):
     if hasattr(mc, "language"):
         if mc.language.input_type == "sequence":
             language_encoder = BertTextEncoder(
-                dataclasses.replace(BERT_SMALL_CONFIG, lora_rank=rank),
+                dataclasses.replace(BERT_SMALL_CONFIG, lora_rank=rank, remat=remat),
                 output_dim=output_dim,
                 dtype=dtype,
             )
@@ -167,7 +176,7 @@ def load_clip_model(args, dtype=jnp.bfloat16):
             dna_encoder = IdentityEncoder()
         elif mc.dna.input_type == "sequence":
             dna_encoder = BarcodeBertDnaEncoder(
-                dataclasses.replace(BARCODE_BERT_CONFIG, lora_rank=rank),
+                dataclasses.replace(BARCODE_BERT_CONFIG, lora_rank=rank, remat=remat),
                 output_dim=output_dim,
                 dtype=dtype,
             )

@@ -40,6 +40,8 @@ class OpenClipVisionConfig:
     output_dim: int = 768
     lora_rank: int = 4
     ln_eps: float = 1e-5
+    # Per-layer remat inside the nn.scan (see ViTConfig.remat).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,6 +54,8 @@ class OpenClipTextConfig:
     output_dim: int = 768
     lora_rank: int = 4
     ln_eps: float = 1e-5
+    # Per-layer remat inside the nn.scan (see ViTConfig.remat).
+    remat: bool = False
 
 
 class OpenClipBlock(nn.Module):
@@ -113,9 +117,14 @@ class OpenClipBlock(nn.Module):
 
 
 def _scan_blocks(cfg_width, cfg_heads, lora_rank, ln_eps, layers, dtype,
-                 name="resblocks"):
+                 name="resblocks", remat=False):
+    block_cls = OpenClipBlock
+    if remat:
+        block_cls = nn.remat(
+            OpenClipBlock, prevent_cse=False, static_argnums=(2,)
+        )
     return nn.scan(
-        OpenClipBlock,
+        block_cls,
         variable_axes={"params": 0},
         split_rngs={"params": True, "dropout": True},
         length=layers,
@@ -152,7 +161,8 @@ class OpenClipImageTower(nn.Module):
         x = nn.LayerNorm(epsilon=c.ln_eps, name="ln_pre",
                          dtype=jnp.float32)(x).astype(self.dtype)
         (x, _), _ = _scan_blocks(
-            c.width, c.heads, c.lora_rank, c.ln_eps, c.layers, self.dtype
+            c.width, c.heads, c.lora_rank, c.ln_eps, c.layers, self.dtype,
+            remat=c.remat,
         )((x, None), deterministic)
         x = nn.LayerNorm(epsilon=c.ln_eps, name="ln_post",
                          dtype=jnp.float32)(x[:, 0])
@@ -184,7 +194,8 @@ class OpenClipTextTower(nn.Module):
             jnp.full((n, n), -1e9, jnp.float32), k=1
         )[None, None]
         (x, _), _ = _scan_blocks(
-            c.width, c.heads, c.lora_rank, c.ln_eps, c.layers, self.dtype
+            c.width, c.heads, c.lora_rank, c.ln_eps, c.layers, self.dtype,
+            remat=c.remat,
         )((x, causal), deterministic)
         x = nn.LayerNorm(epsilon=c.ln_eps, name="ln_final",
                          dtype=jnp.float32)(x)

@@ -41,6 +41,12 @@ class ViTConfig:
     lora_rank: int = 4  # 0 disables LoRA (disable_lora path)
     dropout: float = 0.0
     ln_eps: float = 1e-6
+    # Per-layer rematerialization inside the nn.scan: the backward saves only
+    # the residual stream between layers and recomputes each block's
+    # activations. Cuts train-step HBM from O(layers x tokens x mlp_dim) to
+    # O(layers x tokens x hidden) at ~+1/3 forward FLOPs. Identical param
+    # tree, dropout masks, and gradients (tests/test_remat.py).
+    remat: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -140,8 +146,15 @@ class ViT(nn.Module):
         )
         x = x + pos.astype(self.dtype)
 
+        block_cls = ViTBlock
+        if c.remat:
+            # prevent_cse=False is safe (and required for efficiency) under
+            # scan; static_argnums marks `deterministic` (self, x, det).
+            block_cls = nn.remat(
+                ViTBlock, prevent_cse=False, static_argnums=(2,)
+            )
         block = nn.scan(
-            ViTBlock,
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=c.num_layers,

@@ -66,6 +66,9 @@ def main():
                     help="deterministic towers (no dropout masks)")
     ap.add_argument("--rbg", action="store_true",
                     help="use the TPU-native RBG PRNG for all keys")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-layer remat in the scanned towers "
+                         "(ViTConfig/BertConfig.remat)")
     args = ap.parse_args()
     if args.rbg:
         jax.config.update("jax_default_prng_impl", "rbg")
@@ -74,7 +77,7 @@ def main():
     from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from bioscan_clip_tpu.train.loop import device_batch
 
-    model = _flagship_model(dtype=jnp.bfloat16)
+    model = _flagship_model(dtype=jnp.bfloat16, remat=args.remat)
     with jax.default_device(jax.devices("cpu")[0]):
         params = model.init(
             jax.random.PRNGKey(0),
