@@ -41,10 +41,10 @@ BATCH = 256
 STEPS = 20
 
 
-def _init_flagship(dtype=jnp.bfloat16, remat=False):
+def _init_flagship(dtype=jnp.bfloat16, remat=False, no_dropout=False):
     from __graft_entry__ import _flagship_model
 
-    model = _flagship_model(dtype=dtype, remat=remat)
+    model = _flagship_model(dtype=dtype, remat=remat, no_dropout=no_dropout)
     with jax.default_device(jax.devices("cpu")[0]):
         params = model.init(
             jax.random.PRNGKey(0),
@@ -61,12 +61,13 @@ def _init_flagship(dtype=jnp.bfloat16, remat=False):
 
 
 def main_train(batch: int, steps: int = 8, variant: str = "flat",
-               remat: bool = False):
+               remat: bool = False, no_dropout: bool = False,
+               pre_aug: bool = False):
     """Full LoRA contrastive train-step throughput (one chip)."""
     from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from bioscan_clip_tpu.train.loop import device_batch
 
-    model, params = _init_flagship(remat=remat)
+    model, params = _init_flagship(remat=remat, no_dropout=no_dropout)
     mesh = create_mesh()
     rng = np.random.default_rng(0)
     b = {
@@ -83,6 +84,14 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
         },
         "labels": jnp.arange(batch, dtype=jnp.int32),
     }
+    if pre_aug:
+        # perf-bisect knob: run the train augmentation ONCE outside the
+        # step and feed float images (isolates in-step aug cost)
+        from bioscan_clip_tpu.data.transforms import train_transform
+
+        b["image"] = jax.jit(train_transform)(
+            b.pop("image_u8"), jax.random.PRNGKey(3)
+        )
     sharded = shard_batch(device_batch(b), mesh)
 
     if variant == "flat":
@@ -125,6 +134,8 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
         "batch": batch,
         "variant": variant,
         "remat": remat,
+        "no_dropout": no_dropout,
+        "pre_aug": pre_aug,
         "step_ms": round(1000 * dur / steps, 2),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
@@ -215,6 +226,8 @@ if __name__ == "__main__":
             else 128
         )
         variant = "fused" if "--fused-state" in sys.argv else "flat"
-        main_train(bi, variant=variant, remat="--remat" in sys.argv)
+        main_train(bi, variant=variant, remat="--remat" in sys.argv,
+                   no_dropout="--no-dropout" in sys.argv,
+                   pre_aug="--pre-aug" in sys.argv)
     else:
         main()
