@@ -62,8 +62,12 @@ def _init_flagship(dtype=jnp.bfloat16, remat=False, no_dropout=False):
 
 def main_train(batch: int, steps: int = 8, variant: str = "flat",
                remat: bool = False, no_dropout: bool = False,
-               pre_aug: bool = False):
-    """Full LoRA contrastive train-step throughput (one chip)."""
+               pre_aug: bool = False, scan: int = 0):
+    """Full LoRA contrastive train-step throughput (one chip).
+
+    `scan=K` runs K full steps per dispatch (make_scan_train_step) —
+    amortizes the seconds-scale per-dispatch overhead of the axon tunnel
+    (PERF_NOTES.md round 2); identical per-step semantics."""
     from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from bioscan_clip_tpu.train.loop import device_batch
 
@@ -94,6 +98,58 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
         )
     sharded = shard_batch(device_batch(b), mesh)
 
+    if scan > 0:
+        from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
+        from bioscan_clip_tpu.train.loop import (
+            make_scan_train_step,
+            make_train_step,
+        )
+        from bioscan_clip_tpu.train.state import create_train_state
+
+        state = create_train_state(model, params, lambda s: 1e-3)
+        kstep = make_scan_train_step(model, mesh, steps_per_call=scan)
+        stacked = shard_stacked_batches(
+            jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (scan,) + x.shape),
+                device_batch(b),
+            ),
+            mesh,
+        )
+        key = jax.random.PRNGKey(7)
+        t0 = time.perf_counter()
+        state, losses = kstep(state, stacked, key)
+        float(losses[-1])
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_calls = max(1, steps // scan)
+        for _ in range(n_calls):
+            state, losses = kstep(state, stacked, key)
+        enqueue_s = time.perf_counter() - t0
+        float(losses[-1])
+        dur = time.perf_counter() - t0
+        n_steps = n_calls * scan
+        samples_per_s = batch * n_steps / dur
+        print(json.dumps({
+            "metric": "trimodal_train_samples_per_sec_per_chip",
+            "value": round(samples_per_s, 1),
+            "unit": "samples/s",
+            "vs_baseline": round(samples_per_s / TRAIN_TARGET, 3),
+            "vs_a100_estimate": round(samples_per_s / A100_TRAIN_EST, 2),
+            "batch": batch,
+            "variant": "scan",
+            "remat": remat,
+            "steps_per_call": scan,
+            "step_ms": round(1000 * dur / n_steps, 2),
+            "enqueue_ms_per_step": round(1000 * enqueue_s / n_steps, 2),
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+            "baseline_note": (
+                f"target={TRAIN_TARGET:.0f}/s (3x est. A100 tri-modal LoRA "
+                "contrastive train step)"
+            ),
+        }))
+        return
+
     if variant == "flat":
         from bioscan_clip_tpu.train.flat_state import (
             create_flat_train_state,
@@ -101,7 +157,11 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
         )
 
         state = create_flat_train_state(params, lambda s: 1e-3)
-        step = make_flat_train_step(model, mesh)
+        # remat happens per-layer inside the towers (_init_flagship(remat=));
+        # the step-level whole-tower jax.checkpoint stays off
+        step = make_flat_train_step(
+            model, mesh, donate="--no-donate" not in sys.argv
+        )
     else:
         from bioscan_clip_tpu.train.loop import make_train_step
         from bioscan_clip_tpu.train.state import create_train_state
@@ -109,7 +169,13 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
         state = create_train_state(model, params, lambda s: 1e-3)
         step = make_train_step(model, mesh)
 
-    key = jax.random.PRNGKey(7)
+    # --rbg: typed key with the TPU-native RBG PRNG — every split/fold_in
+    # downstream (aug + dropout) inherits the impl, replacing threefry
+    key = (
+        jax.random.key(7, impl="rbg")
+        if "--rbg" in sys.argv
+        else jax.random.PRNGKey(7)
+    )
     t0 = time.perf_counter()
     state, loss = step(state, sharded, key)
     float(loss)
@@ -117,10 +183,13 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
     state, loss = step(state, sharded, key)
     float(loss)
 
-    # steps chain through the donated state; one final loss fetch syncs all
+    # steps chain through the donated state; one final loss fetch syncs all.
+    # enqueue/sync split: slow enqueue = host/dispatch-side cost, slow sync
+    # = device/tunnel execution cost.
     t0 = time.perf_counter()
     for _ in range(steps):
         state, loss = step(state, sharded, key)
+    enqueue_s = time.perf_counter() - t0
     float(loss)
     dur = time.perf_counter() - t0
 
@@ -136,6 +205,8 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
         "remat": remat,
         "no_dropout": no_dropout,
         "pre_aug": pre_aug,
+        "rbg": "--rbg" in sys.argv,
+        "enqueue_ms_per_step": round(1000 * enqueue_s / steps, 2),
         "step_ms": round(1000 * dur / steps, 2),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
@@ -226,8 +297,13 @@ if __name__ == "__main__":
             else 128
         )
         variant = "fused" if "--fused-state" in sys.argv else "flat"
+        scan_k = (
+            int(sys.argv[sys.argv.index("--scan") + 1])
+            if "--scan" in sys.argv
+            else 0
+        )
         main_train(bi, variant=variant, remat="--remat" in sys.argv,
                    no_dropout="--no-dropout" in sys.argv,
-                   pre_aug="--pre-aug" in sys.argv)
+                   pre_aug="--pre-aug" in sys.argv, scan=scan_k)
     else:
         main()

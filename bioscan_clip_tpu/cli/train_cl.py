@@ -174,7 +174,8 @@ def run(args, max_steps_per_epoch=None, out=print):
         if not eval_now:
             continue
         if args.save_ckpt:
-            save_checkpoint(folder, state, name="last")
+            # async: the eval phase below runs while `last` hits disk
+            save_checkpoint(folder, state, name="last", block=False)
             out(f"Last ckpt: {folder}/last")
         if insect_mode:
             # eval_phase_for_insect (train_cl.py:85-101): keys = merged
@@ -220,6 +221,9 @@ def run(args, max_steps_per_epoch=None, out=print):
             {"overall_acc": overall, "best_epoch": best_epoch, "epoch": epoch}
         )
     wandb_run.finish()
+    from bioscan_clip_tpu.train.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
     return state, best_acc
 
 

@@ -69,6 +69,21 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def shard_stacked_batches(batches, mesh: Mesh):
+    """Device-put a (K, B, ...) stacked multi-step batch (train/loop.py
+    stack_batches) with the BATCH axis (dim 1) sharded over `data` and the
+    step axis replicated — lax.scan in make_scan_train_step iterates dim 0."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    leaves = jax.tree.leaves(batches)
+    if leaves and leaves[0].shape[1] % n_dev != 0:
+        raise ValueError(
+            f"batch size {leaves[0].shape[1]} must be divisible by the "
+            f"mesh's {n_dev} devices"
+        )
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, s), batches)
+
+
 def shard_batch_padded(batch, mesh: Mesh):
     """Like shard_batch but pads the leading dim up to a multiple of the
     device count (repeating the last row) so uneven eval tails shard.

@@ -24,8 +24,20 @@ def _ckpt_dir(path: str) -> str:
     return os.path.abspath(path)
 
 
-def save_checkpoint(directory: str, state, name: str = "last"):
-    """Save params/opt_state/step under <directory>/<name>."""
+# Pending async checkpointers (block=False saves); joined by
+# wait_for_checkpoints(). The reference has no async saving at all
+# (train_cl.py:217-238 blocks the train loop on torch.save).
+_PENDING: list = []
+
+
+def save_checkpoint(directory: str, state, name: str = "last",
+                    block: bool = True):
+    """Save params/opt_state/step under <directory>/<name>.
+
+    `block=False` returns as soon as the device arrays are snapshotted and
+    writes in a background thread (orbax async) — the train loop keeps
+    stepping during the disk write. Call `wait_for_checkpoints()` before
+    reading the files or exiting."""
     path = os.path.join(_ckpt_dir(directory), name)
     ckptr = ocp.StandardCheckpointer()
     payload = {
@@ -34,8 +46,17 @@ def save_checkpoint(directory: str, state, name: str = "last"):
         "opt_state": state.opt_state,
     }
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
+    else:
+        _PENDING.append(ckptr)
     return path
+
+
+def wait_for_checkpoints():
+    """Join all pending async saves (no-op if none)."""
+    while _PENDING:
+        _PENDING.pop().wait_until_finished()
 
 
 def restore_checkpoint(directory: str, state, name: str = "last", mesh=None):

@@ -120,8 +120,12 @@ def create_flat_train_state(
 
 
 def make_flat_train_step(model, mesh, logit_scale=None,
-                         openclip_norm: bool = False, remat: bool = False):
-    """Jitted train step over a FlatTrainState (O(1) output buffers)."""
+                         openclip_norm: bool = False, remat: bool = False,
+                         donate: bool = True):
+    """Jitted train step over a FlatTrainState (O(1) output buffers).
+
+    `donate=False` is a perf-diagnosis knob (tools/probe_tunnel.py saga):
+    keeps the input state buffers alive instead of aliasing them."""
     import functools
 
     from bioscan_clip_tpu.data.transforms import train_transform
@@ -188,7 +192,7 @@ def make_flat_train_step(model, mesh, logit_scale=None,
     jitted = jax.jit(
         _inner,
         static_argnames=("tx", "spec"),
-        donate_argnums=(0, 1, 2),
+        donate_argnums=(0, 1, 2) if donate else (),
         out_shardings=replicated(mesh),
     )
 

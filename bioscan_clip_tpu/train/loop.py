@@ -122,6 +122,104 @@ def make_train_step(
     return train_step
 
 
+def make_scan_train_step(
+    model, mesh, steps_per_call: int, logit_scale: float = LOGIT_SCALE,
+    openclip_norm: bool = False, remat: bool = False,
+    disable_lora: bool = False, color_jitter: bool = False,
+):
+    """K full train steps per dispatch via `lax.scan` — the TPU-native
+    answer to per-dispatch overhead (host round-trips, executable dispatch;
+    through the axon tunnel the fixed cost is seconds per call,
+    PERF_NOTES.md round 2).
+
+    The scanned batch has a leading (K, ...) axis (stack K loader batches).
+    Semantics are IDENTICAL to K sequential `make_train_step` calls: each
+    inner step is a full forward/backward/AdamW on its own batch with
+    full-batch InfoNCE negatives, and the per-step dropout stream is the
+    same `fold_in(rng, state.step)` (tests/test_train_step.py parity test).
+    Returns (state, losses[K]) so per-step logging cadence is preserved
+    (reference train_epoch.py:58-59).
+    """
+    from bioscan_clip_tpu.data.transforms import train_transform
+
+    wrap = jax.checkpoint if remat else (lambda f: f)
+    encoders = {
+        "image": (model.image_encoder, model.encode_image),
+        "dna": (model.dna_encoder, model.encode_dna),
+        "language": (model.language_encoder, model.encode_language),
+    }
+    towers = {
+        name: wrap(
+            functools.partial(
+                lambda p, x, r, _m: model.apply(
+                    {"params": p}, x, deterministic=False,
+                    rngs={"dropout": r}, method=_m,
+                ),
+                _m=method,
+            )
+        )
+        for name, (enc, method) in encoders.items()
+        if enc is not None
+    }
+
+    def loss_fn(params, batch, dropout_rng):
+        aug_rng, r_img, r_dna, r_txt = jax.random.split(dropout_rng, 4)
+        image = batch.get("image")
+        if image is None and "image_u8" in batch:
+            image = train_transform(
+                batch["image_u8"], aug_rng, normalize=openclip_norm,
+                jitter=color_jitter,
+            )
+        inputs = {
+            "image": (image, r_img),
+            "dna": (batch.get("dna"), r_dna),
+            "language": (batch.get("language"), r_txt),
+        }
+        embs = {}
+        for name, tower in towers.items():
+            x, r = inputs[name]
+            embs[name] = tower(params, x, r) if x is not None else None
+        return multimodal_contrastive_loss(embs, batch["labels"], logit_scale)
+
+    from bioscan_clip_tpu.train.state import (
+        grads_to_full_tree,
+        merge_partitions,
+        param_labels,
+        partition_params,
+    )
+
+    @functools.partial(
+        jax.jit,
+        donate_argnums=(0,),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    def train_steps(state, batches, rng):
+        labels = param_labels(state.params, disable_lora=disable_lora)
+
+        def body(state, batch):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            trainable, frozen = partition_params(state.params, labels)
+
+            def loss_t(tr):
+                return loss_fn(
+                    merge_partitions(tr, frozen), batch, dropout_rng
+                )
+
+            loss, g = jax.value_and_grad(loss_t)(trainable)
+            grads = grads_to_full_tree(g, state.params)
+            return state.apply_gradients(grads), loss
+
+        return jax.lax.scan(body, state, batches, length=steps_per_call)
+
+    return train_steps
+
+
+def stack_batches(batches):
+    """Stack K loader batch dicts -> one dict with a leading (K, ...) axis
+    (the input of make_scan_train_step)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
 def make_accum_train_step(
     model, mesh, accum_steps: int, logit_scale: float = LOGIT_SCALE,
     openclip_norm: bool = False, remat: bool = False,

@@ -150,3 +150,43 @@ def test_disable_lora_trains_everything():
     state = _init_state(model, disable_lora=True)
     labels = param_labels(state.params, disable_lora=True)
     assert all(l == "trainable" for l in jax.tree.leaves(labels))
+
+
+def test_scan_train_step_matches_sequential():
+    """K scanned steps == K sequential make_train_step calls (same dropout
+    streams via fold_in(rng, state.step)), per-step losses returned."""
+    from bioscan_clip_tpu.train.loop import (
+        make_scan_train_step,
+        stack_batches,
+    )
+
+    model = _tiny_model()
+    mesh = create_mesh()
+    K = 3
+    batches = [_batch(16, seed=s) for s in range(K)]
+    rng = jax.random.PRNGKey(5)
+
+    state_a = _init_state(model)
+    step = make_train_step(model, mesh)
+    seq_losses = []
+    for b in batches:
+        state_a, loss = step(state_a, shard_batch(b, mesh), rng)
+        seq_losses.append(float(loss))
+
+    from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
+
+    state_b = _init_state(model)
+    scan_step = make_scan_train_step(model, mesh, steps_per_call=K)
+    stacked = shard_stacked_batches(stack_batches(batches), mesh)
+    state_b, losses = scan_step(state_b, stacked, rng)
+
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(seq_losses), rtol=1e-5
+    )
+    assert int(state_b.step) == K
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
