@@ -128,6 +128,24 @@ def run(args, max_steps_per_epoch=None, out=print):
             disable_lora=disable_lora, color_jitter=insect_mode,
         )
 
+    # tpu.steps_per_call=K: run K steps per device dispatch via lax.scan
+    # (train/loop.py make_scan_train_step) — identical per-step semantics,
+    # K-fold fewer host round-trips. Incompatible with accumulation (the
+    # accum step already batches device work).
+    steps_per_call = int(tpu_cfg.get("steps_per_call", 1)) if tpu_cfg else 1
+    scan_factory = None
+    if steps_per_call > 1 and accum == 1:
+        from bioscan_clip_tpu.train.loop import make_scan_train_step
+
+        def scan_factory(k):
+            return make_scan_train_step(
+                model, mesh, steps_per_call=k,
+                openclip_norm=bool(getattr(mc, "for_open_clip", False)),
+                disable_lora=disable_lora, color_jitter=insect_mode,
+            )
+    else:
+        steps_per_call = 1
+
     wandb_run = WandbRun(
         getattr(mc, "wandb_project_name", "BIOSCAN-CLIP-TPU"),
         getattr(mc, "model_output_name", "run"),
@@ -162,6 +180,8 @@ def run(args, max_steps_per_epoch=None, out=print):
             logger=out, wandb_run=wandb_run,
             profile_dir=profile_dir if epoch == start_epoch else None,
             profile_steps=int(getattr(args, "profile_steps", 5)),
+            steps_per_call=steps_per_call,
+            scan_step_factory=scan_factory,
         )
         out(
             f"epoch {epoch}: {stats['samples_per_s']:.1f} samples/s, "

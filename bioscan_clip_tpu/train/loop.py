@@ -552,6 +552,8 @@ def train_epoch(
     wandb_run=None,
     profile_dir=None,
     profile_steps: int = 5,
+    steps_per_call: int = 1,
+    scan_step_factory=None,
 ):
     """One epoch over a host dataloader yielding batch dicts.
 
@@ -562,6 +564,13 @@ def train_epoch(
     `profile_dir`: capture a jax.profiler (Perfetto) trace of the first
     `profile_steps` steps (SURVEY.md §5.1 upgrade — the reference has no
     profiler).
+
+    `steps_per_call > 1` + `scan_step_factory` (k -> make_scan_train_step):
+    K loader batches are stacked and run as ONE device dispatch
+    (make_scan_train_step) — amortizes per-dispatch overhead; per-step
+    losses come back from the scan so logging cadence is unchanged. The
+    epoch tail uses a lazily-built shorter scan (one extra compile), so no
+    batch is dropped.
     """
     losses = []
     t_start = time.perf_counter()
@@ -586,22 +595,60 @@ def train_epoch(
         if wandb_run is not None:
             wandb_run.log({"loss": loss_v, "epoch": epoch, "step": idx})
 
-    for i, batch in enumerate(dataloader):
-        if profile_dir and i == 0:
-            jax.profiler.start_trace(profile_dir)
-            tracing = True
-        batch = shard_batch(device_batch(batch), mesh)
-        n_samples += int(batch["labels"].shape[0])
-        state, loss = train_step(state, batch, rng)
-        if pending is not None:
-            record(*pending)
-        pending = (i, loss)
-        if tracing and i + 1 >= profile_steps:
-            jax.block_until_ready(state.params)
-            jax.profiler.stop_trace()
-            tracing = False
-            if logger is not None:
-                logger(f"profiler trace ({profile_steps} steps) -> {profile_dir}")
+    if steps_per_call > 1 and scan_step_factory is not None:
+        from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
+
+        scan_steps = {}  # chunk size -> compiled scanned step
+
+        def run_chunk(state, chunk, base_idx):
+            nonlocal n_samples
+            k = len(chunk)
+            if k == 1:
+                b = shard_batch(device_batch(chunk[0]), mesh)
+                n_samples += int(b["labels"].shape[0])
+                state, loss = train_step(state, b, rng)
+                record(base_idx, loss)
+                return state
+            if k not in scan_steps:
+                scan_steps[k] = scan_step_factory(k)
+            stacked = shard_stacked_batches(
+                stack_batches([device_batch(b) for b in chunk]), mesh
+            )
+            n_samples += int(stacked["labels"].shape[1]) * k
+            state, losses_k = scan_steps[k](state, stacked, rng)
+            for j in range(k):
+                record(base_idx + j, losses_k[j])
+            return state
+
+        chunk, base = [], 0
+        for batch in dataloader:
+            chunk.append(batch)
+            if len(chunk) == steps_per_call:
+                state = run_chunk(state, chunk, base)
+                base += len(chunk)
+                chunk = []
+        if chunk:
+            state = run_chunk(state, chunk, base)
+    else:
+        for i, batch in enumerate(dataloader):
+            if profile_dir and i == 0:
+                jax.profiler.start_trace(profile_dir)
+                tracing = True
+            batch = shard_batch(device_batch(batch), mesh)
+            n_samples += int(batch["labels"].shape[0])
+            state, loss = train_step(state, batch, rng)
+            if pending is not None:
+                record(*pending)
+            pending = (i, loss)
+            if tracing and i + 1 >= profile_steps:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                tracing = False
+                if logger is not None:
+                    logger(
+                        f"profiler trace ({profile_steps} steps) -> "
+                        f"{profile_dir}"
+                    )
     if pending is not None:
         record(*pending)
     if tracing:

@@ -248,3 +248,56 @@ def test_train_cl_resume_and_profiler(tmp_path, monkeypatch):
     state2, _ = tc.run(args, out=lines2.append)
     assert any("Resumed from" in l for l in lines2)
     assert int(state2.step) == 2 * first_steps
+
+
+def test_train_cl_steps_per_call(tmp_path, monkeypatch):
+    """tpu.steps_per_call=2: the epoch runs through the scanned K-step path
+    (chunking + lazily-compiled tail), producing the same number of
+    optimizer steps as the sequential path."""
+    monkeypatch.chdir(tmp_path)
+    import tests.test_insect as ti
+
+    class FakeFactory:
+        def mktemp(self, name):
+            p = tmp_path / name
+            p.mkdir(exist_ok=True)
+            return p
+
+    args = ti.insect_fixture.__wrapped__(FakeFactory())
+    cfg = args.cfg
+    cfg.merge(
+        {
+            "debug_flag": True,
+            "activate_wandb": False,
+            "save_inference": False,
+            "save_ckpt": False,
+            "project_root_path": str(tmp_path),
+            "model_output_dir": "ckpt",
+            "tpu": {"steps_per_call": 2},
+            "inference_and_eval_setting": {"k_list": [1, 3, 5]},
+        }
+    )
+    cfg.model_config.merge(
+        {
+            "dataset": "INSECT",
+            "epochs": 1,
+            "evaluation_period": 1,
+            "model_output_name": "scan_test",
+            "load_ckpt": False,
+            "wandb_project_name": "test",
+            "batch_size": 8,
+        }
+    )
+
+    import bioscan_clip_tpu.cli.train_cl as tc
+    import bioscan_clip_tpu.models.clip as clip_mod
+
+    monkeypatch.setattr(clip_mod, "load_clip_model", _tiny_factory(clip_mod))
+    lines = []
+    state, best = tc.run(args, out=lines.append)
+    # wiring check (the tiny fixture yields ~1 train batch/epoch; chunk+tail
+    # semantics are unit-tested in test_train_step.py::test_train_epoch_scan)
+    assert int(state.step) >= 1
+    step_logs = [l for l in lines if " step " in l and "loss" in l]
+    assert step_logs, "per-step logging must survive the scanned path"
+    assert best is not None

@@ -190,3 +190,44 @@ def test_scan_train_step_matches_sequential():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
         )
+
+
+def test_train_epoch_scan_matches_sequential():
+    """train_epoch with steps_per_call=2 over 3 batches (one 2-chunk + one
+    tail) == plain sequential train_epoch: same final params, same per-step
+    loss curve, same sample count."""
+    from bioscan_clip_tpu.train.loop import (
+        make_scan_train_step,
+        train_epoch,
+    )
+
+    model = _tiny_model()
+    mesh = create_mesh()
+    batches = [
+        {k: np.asarray(v) for k, v in _batch(16, seed=s).items()}
+        for s in range(3)
+    ]
+    step = make_train_step(model, mesh)
+
+    state_a, stats_a = train_epoch(
+        _init_state(model), step, list(batches), mesh,
+        jax.random.PRNGKey(9), epoch=0, total_epochs=1,
+    )
+    state_b, stats_b = train_epoch(
+        _init_state(model), step, list(batches), mesh,
+        jax.random.PRNGKey(9), epoch=0, total_epochs=1,
+        steps_per_call=2,
+        scan_step_factory=lambda k: make_scan_train_step(
+            model, mesh, steps_per_call=k
+        ),
+    )
+    assert int(state_a.step) == int(state_b.step) == 3
+    np.testing.assert_allclose(
+        stats_b["mean_loss"], stats_a["mean_loss"], rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
