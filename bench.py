@@ -217,9 +217,10 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
     }))
 
 
-def main():
+def main(batch: int = BATCH):
     from bioscan_clip_tpu.data.transforms import eval_transform
 
+    BATCH = batch  # noqa: N806 — local override of the module default
     dev = jax.devices()[0]
     model, params = _init_flagship()
     params = jax.device_put(params, dev)
@@ -306,4 +307,8 @@ if __name__ == "__main__":
                    no_dropout="--no-dropout" in sys.argv,
                    pre_aug="--pre-aug" in sys.argv, scan=scan_k)
     else:
-        main()
+        main(
+            int(sys.argv[sys.argv.index("--batch") + 1])
+            if "--batch" in sys.argv
+            else BATCH
+        )
