@@ -98,6 +98,7 @@ def topk_search(
     key_chunk: int = 65536,
     query_chunk: int = 8192,
     use_pallas: Optional[bool] = None,
+    max_device_keys: Optional[int] = None,
     _interpret: bool = False,
 ):
     """Exact top-k inner-product search. Returns (similarities, indices) as
@@ -108,11 +109,46 @@ def topk_search(
     TPU device with a large key set the fused Pallas kernel
     (ops/topk_pallas.py, ~2.7x the XLA scan at 1M keys) is used; set
     `use_pallas=False` to force the XLA path.
-    """
+
+    Key sets larger than device memory (SURVEY.md §2.9: up to ~5M x 768 on
+    BIOSCAN-5M = 15.4 GB fp32 vs 16 GB HBM/chip) are HOST-STREAMED: keys
+    stay in host RAM, device-sized slabs are searched one at a time, and
+    the per-slab top-ks are merged exactly on host. `max_device_keys`
+    overrides the per-device slab budget (default sized so keys + padding
+    + workspace fit one chip)."""
     q = np.asarray(query_feature, dtype=np.float32)
     ks = np.asarray(keys_feature, dtype=np.float32)
     n_keys, d = ks.shape
     k_eff = min(k, n_keys)
+
+    if max_device_keys is None:
+        # ~6 GB of fp32 keys per device (v5e: 16 GB HBM minus queries,
+        # scores, and kernel workspace)
+        n_dev_budget = 1
+        if mesh is not None:
+            n_dev_budget = int(
+                np.prod([mesh.shape[a] for a in mesh.axis_names])
+            )
+        max_device_keys = int(6e9 / (4 * d)) * n_dev_budget
+    if n_keys > max_device_keys:
+        best_v = best_i = None
+        for start in range(0, n_keys, max_device_keys):
+            stop = min(start + max_device_keys, n_keys)
+            v, i = topk_search(
+                q, ks[start:stop], k_eff, mesh=mesh, key_chunk=key_chunk,
+                query_chunk=query_chunk, use_pallas=use_pallas,
+                max_device_keys=max_device_keys, _interpret=_interpret,
+            )
+            i = i.astype(np.int64) + start
+            if best_v is None:
+                best_v, best_i = v, i
+            else:  # exact host merge of two sorted top-k lists
+                cat_v = np.concatenate([best_v, v], axis=1)
+                cat_i = np.concatenate([best_i, i], axis=1)
+                sel = np.argsort(-cat_v, axis=1, kind="stable")[:, :k_eff]
+                best_v = np.take_along_axis(cat_v, sel, axis=1)
+                best_i = np.take_along_axis(cat_i, sel, axis=1)
+        return best_v, best_i
 
     n_dev = 1
     if mesh is not None:

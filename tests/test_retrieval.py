@@ -247,3 +247,21 @@ def test_multi_device_pallas_path_exact():
     # indices may differ on exact ties; compare via values
     got_vals = np.take_along_axis(sims, idxs.astype(np.int64), axis=1)
     np.testing.assert_allclose(got_vals, ref_vals, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_topk_host_streamed_matches_bruteforce(use_mesh):
+    """Keys larger than the device budget: host-streamed slabs + exact
+    host merge must equal brute force (the >HBM BIOSCAN-5M key path)."""
+    rng = np.random.default_rng(3)
+    q = l2norm_np(rng.standard_normal((17, 16)).astype(np.float32))
+    ks = l2norm_np(rng.standard_normal((5000, 16)).astype(np.float32))
+    mesh = create_mesh() if use_mesh else None
+    sims, idx = topk_search(
+        q, ks, 5, mesh=mesh, key_chunk=256, query_chunk=9,
+        max_device_keys=1024,  # force 5 slabs incl. an uneven tail
+    )
+    bsims, _ = _brute_topk(q, ks, 5)
+    np.testing.assert_allclose(sims, bsims, atol=1e-5)
+    re_sims = np.take_along_axis(q @ ks.T, idx.astype(np.int64), axis=1)
+    np.testing.assert_allclose(re_sims, bsims, atol=1e-5)
