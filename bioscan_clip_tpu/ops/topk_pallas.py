@@ -33,7 +33,8 @@ NEG = float("-inf")
 
 
 def _topk_kernel(n_valid_ref, q_ref, k_ref, vals_out, idx_out,
-                 run_vals, run_idx, *, k: int, tile: int):
+                 run_vals, run_idx, *, k: int, tile: int,
+                 precision=None):
     t = pl.program_id(1)  # key-tile index (inner, sequential)
     n_tiles = pl.num_programs(1)
 
@@ -48,6 +49,7 @@ def _topk_kernel(n_valid_ref, q_ref, k_ref, vals_out, idx_out,
         q, kt,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # (Bq, T)
 
     base = t * tile
@@ -85,10 +87,12 @@ def _topk_kernel(n_valid_ref, q_ref, k_ref, vals_out, idx_out,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile", "q_block", "interpret")
+    jax.jit,
+    static_argnames=("k", "tile", "q_block", "interpret", "precision"),
 )
 def pallas_topk(queries, keys, n_valid, k: int = 5, tile: int = 512,
-                q_block: int = 256, interpret: bool = False):
+                q_block: int = 256, interpret: bool = False,
+                precision: str = "high"):
     """Exact top-k of queries @ keys.T.
 
     queries: (Bq, D) f32 with Bq % q_block == 0; keys: (N, D) f32 with
@@ -123,7 +127,18 @@ def pallas_topk(queries, keys, n_valid, k: int = 5, tile: int = 512,
             pltpu.VMEM((q_block, k), jnp.int32),
         ],
     )
-    kernel = functools.partial(_topk_kernel, k=k, tile=tile)
+    # score matmul precision: "default" = single-pass bf16 operands
+    # (fastest); "high"/"highest" = full-precision accumulation (Mosaic
+    # supports only DEFAULT/HIGHEST, so "high" maps to HIGHEST here —
+    # fp32-faithful like the FAISS IndexFlatIP this kernel replaces)
+    kernel = functools.partial(
+        _topk_kernel, k=k, tile=tile,
+        precision=(
+            jax.lax.Precision.DEFAULT
+            if precision == "default"
+            else jax.lax.Precision.HIGHEST
+        ),
+    )
     vals, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -138,7 +153,7 @@ def pallas_topk(queries, keys, n_valid, k: int = 5, tile: int = 512,
 
 def topk_search_pallas(query_feature, keys_feature, k: int,
                        tile: int = 512, query_chunk: int = 1024,
-                       interpret: bool = False):
+                       interpret: bool = False, precision: str = "high"):
     """numpy-in/numpy-out wrapper matching retrieval.engine.topk_search."""
     q = np.asarray(query_feature, dtype=np.float32)
     ks = np.asarray(keys_feature, dtype=np.float32)
@@ -160,7 +175,8 @@ def topk_search_pallas(query_feature, keys_feature, k: int,
         if pad:
             qc = np.concatenate([qc, np.zeros((pad, d), np.float32)], axis=0)
         v, i = pallas_topk(jnp.asarray(qc), ks_j, n_keys, k=k_eff, tile=tile,
-                           q_block=qb, interpret=interpret)
+                           q_block=qb, interpret=interpret,
+                           precision=precision)
         sims[s : s + nb] = np.asarray(v)[:nb]
         idxs[s : s + nb] = np.asarray(i, dtype=np.int64)[:nb]
     return sims, idxs

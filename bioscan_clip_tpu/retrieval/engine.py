@@ -44,8 +44,12 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("k", "key_chunk", "axis_name"))
-def _topk_scan(queries, keys, n_valid, k: int, key_chunk: int, axis_name=None):
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "key_chunk", "axis_name", "precision"),
+)
+def _topk_scan(queries, keys, n_valid, k: int, key_chunk: int,
+               axis_name=None, precision=None):
     """Exact top-k of queries @ keys.T by streaming key chunks.
 
     queries: (B, D) f32; keys: (N_pad, D) f32. Rows with index >= n_valid
@@ -69,7 +73,11 @@ def _topk_scan(queries, keys, n_valid, k: int, key_chunk: int, axis_name=None):
         vals, idxs = carry
         chunk, cidx = inp
         sims = jnp.dot(
-            queries, chunk.T, preferred_element_type=jnp.float32
+            queries, chunk.T, preferred_element_type=jnp.float32,
+            precision=(
+                None if precision is None
+                else getattr(jax.lax.Precision, precision.upper())
+            ),
         )  # (B, C)
         local_idx = (
             jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
@@ -99,6 +107,7 @@ def topk_search(
     query_chunk: int = 8192,
     use_pallas: Optional[bool] = None,
     max_device_keys: Optional[int] = None,
+    precision: str = "high",
     _interpret: bool = False,
 ):
     """Exact top-k inner-product search. Returns (similarities, indices) as
@@ -115,7 +124,12 @@ def topk_search(
     stay in host RAM, device-sized slabs are searched one at a time, and
     the per-slab top-ks are merged exactly on host. `max_device_keys`
     overrides the per-device slab budget (default sized so keys + padding
-    + workspace fit one chip)."""
+    + workspace fit one chip).
+
+    `precision`: score-matmul precision on TPU. "high" (default, bf16x3)
+    is fp32-faithful like the FAISS IndexFlatIP this engine replaces;
+    "default" is single-pass bf16 (~2x faster scores, ~2e-3 score error —
+    fine for throughput benchmarking, can flip near-ties)."""
     q = np.asarray(query_feature, dtype=np.float32)
     ks = np.asarray(keys_feature, dtype=np.float32)
     n_keys, d = ks.shape
@@ -137,7 +151,8 @@ def topk_search(
             v, i = topk_search(
                 q, ks[start:stop], k_eff, mesh=mesh, key_chunk=key_chunk,
                 query_chunk=query_chunk, use_pallas=use_pallas,
-                max_device_keys=max_device_keys, _interpret=_interpret,
+                max_device_keys=max_device_keys, precision=precision,
+                _interpret=_interpret,
             )
             i = i.astype(np.int64) + start
             if best_v is None:
@@ -163,7 +178,7 @@ def topk_search(
 
         return topk_search_pallas(
             q, ks, k_eff, query_chunk=min(query_chunk, 1024),
-            interpret=_interpret,
+            interpret=_interpret, precision=precision,
         )
 
     PALLAS_TILE = 512
@@ -201,12 +216,12 @@ def topk_search(
                     vals, idxs = pallas_topk(
                         qq, kk, n_local_valid, k=k_eff, tile=PALLAS_TILE,
                         q_block=min(Q_BLOCK, qq.shape[0]),
-                        interpret=_interpret,
+                        interpret=_interpret, precision=precision,
                     )
                 else:
                     vals, idxs = _topk_scan(
                         qq, kk, n_local_valid, k_eff, key_chunk,
-                        axis_name=DATA_AXIS,
+                        axis_name=DATA_AXIS, precision=precision,
                     )
                 idxs = idxs + dev * shard_pad
                 vals_g = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
@@ -230,7 +245,9 @@ def topk_search(
         keys_sharded = jnp.asarray(ks_p)
 
         def search(qd, kd):
-            return _topk_scan(qd, kd, n_keys, k_eff, key_chunk)
+            return _topk_scan(
+                qd, kd, n_keys, k_eff, key_chunk, precision=precision
+            )
 
     sims_out = np.empty((q.shape[0], k_eff), np.float32)
     idx_out = np.empty((q.shape[0], k_eff), np.int64)

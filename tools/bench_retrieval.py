@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--queries", type=int, default=1024)
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--precision", default="high",
+                    choices=["default", "high", "highest"])
     args = ap.parse_args()
 
     from bioscan_clip_tpu.retrieval.engine import topk_search
@@ -42,10 +44,11 @@ def main():
     q /= np.linalg.norm(q, axis=1, keepdims=True)
 
     # warm (compiles the kernel at slab shape)
-    topk_search(q[:8], ks[: min(args.keys, 1_000_000)], args.k)
+    topk_search(q[:8], ks[: min(args.keys, 1_000_000)], args.k,
+                precision=args.precision)
 
     t0 = time.perf_counter()
-    sims, idx = topk_search(q, ks, args.k)
+    sims, idx = topk_search(q, ks, args.k, precision=args.precision)
     dur = time.perf_counter() - t0
 
     # spot-check exactness on a small query subset
@@ -53,7 +56,8 @@ def main():
     ref = sub @ ks.T
     ref_top = np.sort(ref, axis=1)[:, -args.k:][:, ::-1]
     got = sims[:4]
-    ok = bool(np.allclose(np.sort(got, axis=1)[:, ::-1], ref_top, atol=1e-4))
+    atol = {"default": 5e-2, "high": 2e-3, "highest": 1e-3}[args.precision]
+    ok = bool(np.allclose(np.sort(got, axis=1)[:, ::-1], ref_top, atol=atol))
 
     flops = 2.0 * args.queries * args.keys * args.dim
     print(json.dumps({
@@ -65,6 +69,7 @@ def main():
         "seconds": round(dur, 3),
         "tflops_per_s": round(flops / dur / 1e12, 1),
         "queries_per_s": round(args.queries / dur, 1),
+        "precision": args.precision,
         "exact_spot_check": ok,
     }))
 
