@@ -23,6 +23,21 @@ import jax
 def run(args, max_steps_per_epoch=None, out=print):
     import jax.numpy as jnp
 
+    from bioscan_clip_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    # multi-host: one JAX process per host (the reference's mp.spawn+NCCL
+    # story, train_cl.py:249-252) — see parallel/distributed.py triggers.
+    # Each process's loaders read a process-strided shard of every batch
+    # (DistributedSampler(drop_last) semantics) and shard_batch assembles
+    # the global arrays.
+    from bioscan_clip_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    proc_idx, proc_cnt = maybe_initialize_distributed(args, log=out)
+
     from bioscan_clip_tpu.data.dataset import load_dataloader
     from bioscan_clip_tpu.models.clip import init_clip_params, load_clip_model
     from bioscan_clip_tpu.parallel.mesh import create_mesh
@@ -58,7 +73,9 @@ def run(args, max_steps_per_epoch=None, out=print):
         eval_loaders = (train_for_key, val_loader, test_seen_loader,
                         test_unseen_loader)
     else:
-        train_loader, seen_val, unseen_val, all_keys = load_dataloader(args)
+        train_loader, seen_val, unseen_val, all_keys = load_dataloader(
+            args, process_index=proc_idx, process_count=proc_cnt
+        )
         eval_loaders = (all_keys, seen_val, unseen_val)
 
     out("Initialize model...")
@@ -72,6 +89,14 @@ def run(args, max_steps_per_epoch=None, out=print):
             out(f"Loaded checkpoint {ckpt}")
         else:
             params = load_pretrained_towers(args, params, mc.output_dim, log=out)
+
+    if bool(getattr(mc, "learnable_logit_scale", False)):
+        # optional CLIP-style learnable temperature (parity-plus: the
+        # reference is fixed 1/0.07, train_cl.py:190)
+        from bioscan_clip_tpu.train.loop import make_logit_scale_param
+
+        params = make_logit_scale_param(params)
+        out("learnable logit scale enabled (init 1/0.07)")
 
     steps_per_epoch = len(train_loader)
     if max_steps_per_epoch:
@@ -128,10 +153,11 @@ def run(args, max_steps_per_epoch=None, out=print):
             disable_lora=disable_lora, color_jitter=insect_mode,
         )
 
-    # tpu.steps_per_call=K: run K steps per device dispatch via lax.scan
-    # (train/loop.py make_scan_train_step) — identical per-step semantics,
-    # K-fold fewer host round-trips. Incompatible with accumulation (the
-    # accum step already batches device work).
+    # tpu.steps_per_call=K: run K steps per device dispatch via lax.scan —
+    # identical per-step semantics, K-fold fewer host round-trips. Composes
+    # with tpu.accum_steps: the scan body is then one full GradCache
+    # macro-step (full-batch negatives AND dispatch amortization — the
+    # batch-400 single-chip recipe). accum_mode=micro has no scan path.
     steps_per_call = int(tpu_cfg.get("steps_per_call", 1)) if tpu_cfg else 1
     scan_factory = None
     if steps_per_call > 1 and accum == 1:
@@ -140,6 +166,15 @@ def run(args, max_steps_per_epoch=None, out=print):
         def scan_factory(k):
             return make_scan_train_step(
                 model, mesh, steps_per_call=k,
+                openclip_norm=bool(getattr(mc, "for_open_clip", False)),
+                disable_lora=disable_lora, color_jitter=insect_mode,
+            )
+    elif steps_per_call > 1 and accum > 1 and mode != "micro":
+        from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+        def scan_factory(k):
+            return make_gradcache_train_step(
+                model, mesh, accum_steps=accum, steps_per_call=k,
                 openclip_norm=bool(getattr(mc, "for_open_clip", False)),
                 disable_lora=disable_lora, color_jitter=insect_mode,
             )
@@ -197,6 +232,18 @@ def run(args, max_steps_per_epoch=None, out=print):
             # async: the eval phase below runs while `last` hits disk
             save_checkpoint(folder, state, name="last", block=False)
             out(f"Last ckpt: {folder}/last")
+        # multi-host eval: every process evaluates the FULL splits on its
+        # process-LOCAL devices (the loaders are unsharded for eval) — the
+        # reference's rank-0 eval semantics without idling the other hosts'
+        # feature extraction.
+        eval_mesh, eval_params = mesh, state.params
+        if proc_cnt > 1:
+            import numpy as np
+
+            from bioscan_clip_tpu.parallel.mesh import create_mesh as _cm
+
+            eval_mesh = _cm(devices=jax.local_devices())
+            eval_params = jax.tree.map(np.asarray, state.params)
         if insect_mode:
             # eval_phase_for_insect (train_cl.py:85-101): keys = merged
             # train/val/test splits, queries = test seen/unseen
@@ -204,7 +251,7 @@ def run(args, max_steps_per_epoch=None, out=print):
 
             train_key, val_loader, test_seen_l, test_unseen_l = eval_loaders
             dicts = [
-                extract_features(state.params, model, mesh, l)
+                extract_features(eval_params, model, eval_mesh, l)
                 for l in (train_key, val_loader, test_seen_l, test_unseen_l)
             ]
             keys_dict = construct_key_dict(dicts)
@@ -212,15 +259,17 @@ def run(args, max_steps_per_epoch=None, out=print):
         else:
             all_keys, seen_val, unseen_val = eval_loaders
             keys_dict = extract_features(
-                state.params, model, mesh, all_keys, for_key_set=True
+                eval_params, model, eval_mesh, all_keys, for_key_set=True
             )
-            seen_dict = extract_features(state.params, model, mesh, seen_val)
+            seen_dict = extract_features(
+                eval_params, model, eval_mesh, seen_val
+            )
             unseen_dict = extract_features(
-                state.params, model, mesh, unseen_val
+                eval_params, model, eval_mesh, unseen_val
             )
         acc_dict, _, _ = inference_and_print_result(
             keys_dict, seen_dict, unseen_dict, args=args, k_list=k_list,
-            mesh=mesh, out=out,
+            mesh=eval_mesh, out=out,
         )
         # model selection: mean of seen/unseen image->image top-1 species
         # micro acc (train_cl.py:231)

@@ -87,29 +87,38 @@ def construct_dataloader(
         openclip_norm=bool(getattr(mc, "for_open_clip", False)),
         process_index=process_index,
         process_count=process_count,
+        # tpu.train_crop: host-side RandomResizedCrop for train batches
+        # (halves device image bytes; see pipeline.py)
+        train_crop=bool(tpu_cfg.get("train_crop", False)) if tpu_cfg else False,
     )
 
 
 def load_dataloader(args, world_size=None, rank=None, for_pretrain=True,
                     process_index: int = 0, process_count: int = 1):
-    """(pre_train, val_seen, val_unseen, all_keys) — dataset.py:460-546."""
+    """(pre_train, val_seen, val_unseen, all_keys) — dataset.py:460-546.
+
+    Multi-host: only the TRAIN loader is process-sharded
+    (DistributedSampler semantics); eval loaders read the full split on
+    every process — eval stays single-controller-correct like the
+    reference's rank-0 eval."""
     mc = args.model_config
-    mk = lambda split, **kw: construct_dataloader(
-        args, split, process_index=process_index,
-        process_count=process_count, **kw,
-    )
+    mk = lambda split, **kw: construct_dataloader(args, split, **kw)
     seen_val = mk("val_seen")
     unseen_val = mk("val_unseen")
     all_keys = mk("all_keys")
+    train_kw = dict(
+        process_index=process_index, process_count=process_count,
+        shuffle=True,
+    )
     if for_pretrain:
         split = (
             "no_split_and_seen_train"
             if getattr(mc, "using_train_seen_for_pre_train", False)
             else "no_split"
         )
-        pre_train = mk(split, for_pre_train=True, shuffle=True)
+        pre_train = mk(split, for_pre_train=True, **train_kw)
         return pre_train, seen_val, unseen_val, all_keys
-    train_seen = mk("train_seen", shuffle=True)
+    train_seen = mk("train_seen", **train_kw)
     return train_seen, seen_val, unseen_val, all_keys
 
 

@@ -55,8 +55,46 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices of more than one JAX process —
+    its inputs must then be assembled from process-local shards. A
+    process-LOCAL mesh (multi-host eval) takes the single-process path even
+    when jax.process_count() > 1."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def _n_local_devices(mesh: Mesh) -> int:
+    """Addressable devices of this mesh on this process."""
+    return sum(
+        1 for d in mesh.devices.flat if d.process_index == jax.process_index()
+    )
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch (pytree of arrays) sharded over `data`."""
+    """Device-put a host batch (pytree of arrays) sharded over `data`.
+
+    Multi-process (jax.process_count() > 1): `batch` is this process's LOCAL
+    shard (the loader's process-strided rows, pipeline.py `process_index`),
+    and the returned arrays are GLOBAL — assembled with
+    `jax.make_array_from_process_local_data`, so the jitted step sees the
+    full global batch exactly as in the single-process case. This replaces
+    the reference's DistributedSampler + NCCL all_gather pair
+    (dataset.py:41-48, loss_func.py:58-91)."""
+    if mesh_spans_processes(mesh):
+        n_local = _n_local_devices(mesh)
+        leaves = jax.tree.leaves(batch)
+        if leaves and n_local and leaves[0].shape[0] % n_local != 0:
+            raise ValueError(
+                f"local batch size {leaves[0].shape[0]} must be divisible "
+                f"by this process's {n_local} mesh devices"
+            )
+        s = batch_sharding(mesh)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)
+            ),
+            batch,
+        )
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     leaves = jax.tree.leaves(batch)
     if leaves and leaves[0].shape[0] % n_dev != 0:
@@ -69,10 +107,41 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def replicate_for_mesh(tree, mesh: Mesh):
+    """Place a host pytree fully REPLICATED over the mesh — multi-process
+    safe (every process must hold identical values, e.g. params built from
+    the same PRNGKey or a restored checkpoint)."""
+    s = replicated(mesh)
+    if mesh_spans_processes(mesh):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)
+            ),
+            tree,
+        )
+    return jax.device_put(tree, s)
+
+
 def shard_stacked_batches(batches, mesh: Mesh):
     """Device-put a (K, B, ...) stacked multi-step batch (train/loop.py
     stack_batches) with the BATCH axis (dim 1) sharded over `data` and the
-    step axis replicated — lax.scan in make_scan_train_step iterates dim 0."""
+    step axis replicated — lax.scan in make_scan_train_step iterates dim 0.
+    Multi-process: dim 1 holds this process's LOCAL rows (see shard_batch)."""
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    if mesh_spans_processes(mesh):
+        n_local = _n_local_devices(mesh)
+        leaves = jax.tree.leaves(batches)
+        if leaves and n_local and leaves[0].shape[1] % n_local != 0:
+            raise ValueError(
+                f"local batch size {leaves[0].shape[1]} must be divisible "
+                f"by this process's {n_local} mesh devices"
+            )
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)
+            ),
+            batches,
+        )
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     leaves = jax.tree.leaves(batches)
     if leaves and leaves[0].shape[1] % n_dev != 0:
@@ -80,7 +149,6 @@ def shard_stacked_batches(batches, mesh: Mesh):
             f"batch size {leaves[0].shape[1]} must be divisible by the "
             f"mesh's {n_dev} devices"
         )
-    s = NamedSharding(mesh, P(None, DATA_AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, s), batches)
 
 

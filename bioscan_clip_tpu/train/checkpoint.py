@@ -14,6 +14,8 @@ optimizer/step state and no mid-run resume. Here:
 from __future__ import annotations
 
 import os
+import shutil
+import threading
 from typing import Any, Optional
 
 import jax
@@ -24,10 +26,10 @@ def _ckpt_dir(path: str) -> str:
     return os.path.abspath(path)
 
 
-# Pending async checkpointers (block=False saves); joined by
-# wait_for_checkpoints(). The reference has no async saving at all
-# (train_cl.py:217-238 blocks the train loop on torch.save).
-_PENDING: list = []
+# In-flight async saves by target path (block=False); joined by
+# wait_for_checkpoints() and by any new save to the same path. The reference
+# has no async saving at all (train_cl.py:217-238 blocks on torch.save).
+_PENDING: dict = {}
 
 
 def save_checkpoint(directory: str, state, name: str = "last",
@@ -37,26 +39,59 @@ def save_checkpoint(directory: str, state, name: str = "last",
     `block=False` returns as soon as the device arrays are snapshotted and
     writes in a background thread (orbax async) — the train loop keeps
     stepping during the disk write. Call `wait_for_checkpoints()` before
-    reading the files or exiting."""
+    reading the files or exiting.
+
+    Durability: the write lands in `<name>.writing` and is swapped into
+    `<name>` only once complete, so the previous checkpoint stays valid for
+    the whole (potentially eval-phase-long) async window; two saves to the
+    same name serialize (the second joins the first before starting)."""
     path = os.path.join(_ckpt_dir(directory), name)
-    ckptr = ocp.StandardCheckpointer()
+    prev = _PENDING.pop(path, None)
+    if prev is not None:
+        prev.join()
     payload = {
         "step": state.step,
         "params": state.params,
         "opt_state": state.opt_state,
     }
-    ckptr.save(path, payload, force=True)
-    if block:
+    if jax.process_count() > 1:
+        # multi-host: the train state is replicated, so snapshot to host
+        # (addressable everywhere) and let process 0 be the single writer
+        import numpy as np
+
+        payload = jax.tree.map(lambda x: np.asarray(x), payload)
+        if jax.process_index() != 0:
+            return path
+    tmp = path + ".writing"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(tmp, payload, force=True)
+
+    def _finalize():
         ckptr.wait_until_finished()
+        old = path + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    if block:
+        _finalize()
     else:
-        _PENDING.append(ckptr)
+        t = threading.Thread(target=_finalize, daemon=True)
+        t.start()
+        _PENDING[path] = t
     return path
 
 
 def wait_for_checkpoints():
     """Join all pending async saves (no-op if none)."""
     while _PENDING:
-        _PENDING.pop().wait_until_finished()
+        _PENDING.popitem()[1].join()
 
 
 def restore_checkpoint(directory: str, state, name: str = "last", mesh=None):
@@ -75,9 +110,9 @@ def restore_checkpoint(directory: str, state, name: str = "last", mesh=None):
     }
     restored = ckptr.restore(path, target)
     if mesh is not None:
-        from bioscan_clip_tpu.parallel.mesh import replicated
+        from bioscan_clip_tpu.parallel.mesh import replicate_for_mesh
 
-        restored = jax.device_put(restored, replicated(mesh))
+        restored = replicate_for_mesh(restored, mesh)
     return state.replace(
         step=restored["step"],
         params=restored["params"],

@@ -1,0 +1,82 @@
+"""Subprocess worker for the multi-host equality test (test_multiprocess.py).
+
+Runs as one of N JAX processes over a virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=<local> set by the
+parent), initializes jax.distributed, executes 2 full train steps of the
+tiny tri-modal model on the GLOBAL mesh with its process-local batch shard,
+and writes {losses, param fingerprint} as JSON.
+
+This is the rebuild's answer to the reference's multi-GPU launch contract
+(reference scripts/train_cl.py:42-46, 249-252): same model, same data, N
+processes — identical losses and parameters as the 1-process run.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = int(sys.argv[3])
+    out_path = sys.argv[4]
+
+    import jax
+
+    # the ambient sitecustomize force-registers the axon TPU plugin in every
+    # interpreter; override BEFORE any backend is touched (tests/conftest.py
+    # does the same)
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.default_backend() == "cpu"
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from bioscan_clip_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+    from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
+    from bioscan_clip_tpu.train.loop import make_train_step
+    from tests.test_train_step import _batch, _init_state, _tiny_model
+
+    # idempotence: initialize() above, maybe_initialize_distributed must
+    # no-op and report the right coordinates
+    p_idx, p_cnt = maybe_initialize_distributed()
+    assert (p_idx, p_cnt) == (pid, nproc), (p_idx, p_cnt)
+
+    model = _tiny_model()
+    state = _init_state(model)
+    mesh = create_mesh()  # all processes' devices on one data axis
+    assert mesh.devices.size == jax.device_count()
+
+    B = 16
+    local = B // nproc
+    full = _batch(B)
+    my_rows = slice(pid * local, (pid + 1) * local)
+    local_batch = {k: np.asarray(v)[my_rows] for k, v in full.items()}
+
+    step = make_train_step(model, mesh)
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for _ in range(2):
+        batch = shard_batch(local_batch, mesh)
+        state, loss = step(state, batch, rng)
+        losses.append(float(loss))
+    fp = float(
+        sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(state.params))
+    )
+    with open(out_path, "w") as f:
+        json.dump({"pid": pid, "losses": losses, "fingerprint": fp}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Multi-host (multi-process) execution: 2 processes x 4 CPU devices must
+produce the SAME losses and parameters as 1 process x 8 devices.
+
+This is the rebuild's proof of the reference's multi-GPU contract
+(reference scripts/train_cl.py:42-46, 249-252 mp.spawn + NCCL): the same
+single-controller program runs across jax.distributed processes, with
+loaders shipping process-local shards and shard_batch assembling global
+arrays (parallel/mesh.py, parallel/distributed.py).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
+from bioscan_clip_tpu.train.loop import make_train_step
+from tests.test_train_step import _batch, _init_state, _tiny_model
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _reference_run():
+    """1-process, 8-device ground truth (the conftest virtual mesh)."""
+    import jax.numpy as jnp
+
+    model = _tiny_model()
+    state = _init_state(model)
+    mesh = create_mesh()
+    step = make_train_step(model, mesh)
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for _ in range(2):
+        batch = shard_batch(_batch(16), mesh)
+        state, loss = step(state, batch, rng)
+        losses.append(float(loss))
+    fp = float(
+        sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(state.params))
+    )
+    return losses, fp
+
+
+@pytest.mark.slow
+def test_two_process_matches_single_process(tmp_path):
+    ref_losses, ref_fp = _reference_run()
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "mp_worker.py")
+
+    procs = []
+    outs = []
+    for pid in range(2):
+        out = tmp_path / f"proc{pid}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", str(port), str(out)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr.decode()[-3000:]
+
+    results = [json.loads(o.read_text()) for o in outs]
+    # both processes observe identical (replicated) losses and params
+    np.testing.assert_allclose(
+        results[0]["losses"], results[1]["losses"], rtol=1e-6
+    )
+    # ...and they match the single-process 8-device run
+    np.testing.assert_allclose(
+        results[0]["losses"], ref_losses, rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        results[0]["fingerprint"], ref_fp, rtol=2e-5
+    )
