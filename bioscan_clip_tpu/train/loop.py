@@ -28,6 +28,29 @@ LOGIT_SCALE = 1.0 / 0.07  # fixed temperature (train_cl.py:190)
 DEVICE_BATCH_KEYS = ("image", "image_u8", "dna", "language", "labels")
 
 
+def make_logit_scale_param(params, init: float = LOGIT_SCALE):
+    """Add the OPTIONAL learnable log-temperature to a param tree (SURVEY §7
+    stage 6 "fixed tau=0.07 with optional learnable scale"; CLIP-style:
+    the param stores log(scale), trained without weight decay — see
+    train/state.py labels). Enabled by `model_config.learnable_logit_scale`."""
+    return {**params, "logit_scale": jnp.log(jnp.float32(init))}
+
+
+def logit_scale_value(params, fixed):
+    """exp(log-temperature) when the learnable scale param is present, else
+    the fixed reference value (train_cl.py:190)."""
+    ls = params.get("logit_scale") if isinstance(params, dict) else None
+    return jnp.exp(ls) if ls is not None else fixed
+
+
+def _tower_params(p):
+    """Strip non-module params (the optional logit_scale) before
+    model.apply."""
+    if isinstance(p, dict) and "logit_scale" in p:
+        return {k: v for k, v in p.items() if k != "logit_scale"}
+    return p
+
+
 def device_batch(batch: dict) -> dict:
     """Select the array-valued keys that go to device (label_dicts/ids are
     host-side metadata for eval)."""
@@ -50,7 +73,9 @@ def make_train_step(
     via smaller per-device batches / `make_accum_train_step` — see
     PERF_NOTES.md for measurements.
     """
-    from bioscan_clip_tpu.data.transforms import train_transform
+    from bioscan_clip_tpu.data.transforms import (
+        train_transform_auto as train_transform,
+    )
 
     wrap = jax.checkpoint if remat else (lambda f: f)
     encoders = {
@@ -62,7 +87,7 @@ def make_train_step(
         name: wrap(
             functools.partial(
                 lambda p, x, r, _m: model.apply(
-                    {"params": p}, x, deterministic=False,
+                    {"params": _tower_params(p)}, x, deterministic=False,
                     rngs={"dropout": r}, method=_m,
                 ),
                 _m=method,
@@ -90,7 +115,7 @@ def make_train_step(
             x, r = inputs[name]
             embs[name] = tower(params, x, r) if x is not None else None
         return multimodal_contrastive_loss(
-            embs, batch["labels"], logit_scale
+            embs, batch["labels"], logit_scale_value(params, logit_scale)
         )
 
     from bioscan_clip_tpu.train.state import (
@@ -140,7 +165,9 @@ def make_scan_train_step(
     Returns (state, losses[K]) so per-step logging cadence is preserved
     (reference train_epoch.py:58-59).
     """
-    from bioscan_clip_tpu.data.transforms import train_transform
+    from bioscan_clip_tpu.data.transforms import (
+        train_transform_auto as train_transform,
+    )
 
     wrap = jax.checkpoint if remat else (lambda f: f)
     encoders = {
@@ -152,7 +179,7 @@ def make_scan_train_step(
         name: wrap(
             functools.partial(
                 lambda p, x, r, _m: model.apply(
-                    {"params": p}, x, deterministic=False,
+                    {"params": _tower_params(p)}, x, deterministic=False,
                     rngs={"dropout": r}, method=_m,
                 ),
                 _m=method,
@@ -179,7 +206,9 @@ def make_scan_train_step(
         for name, tower in towers.items():
             x, r = inputs[name]
             embs[name] = tower(params, x, r) if x is not None else None
-        return multimodal_contrastive_loss(embs, batch["labels"], logit_scale)
+        return multimodal_contrastive_loss(
+            embs, batch["labels"], logit_scale_value(params, logit_scale)
+        )
 
     from bioscan_clip_tpu.train.state import (
         grads_to_full_tree,
@@ -235,7 +264,9 @@ def make_accum_train_step(
     full-batch negatives under accumulation use
     `make_gradcache_train_step` (the default in train_cl).
     """
-    from bioscan_clip_tpu.data.transforms import train_transform
+    from bioscan_clip_tpu.data.transforms import (
+        train_transform_auto as train_transform,
+    )
 
     def split_batch(batch, n):
         def sp(x):
@@ -255,7 +286,7 @@ def make_accum_train_step(
             towers[name] = wrap(
                 functools.partial(
                     lambda p, x, r, _m: model.apply(
-                        {"params": p}, x, deterministic=False,
+                        {"params": _tower_params(p)}, x, deterministic=False,
                         rngs={"dropout": r}, method=_m,
                     ),
                     _m=method,
@@ -279,7 +310,9 @@ def make_accum_train_step(
             n: (t(params, *inputs[n]) if inputs[n][0] is not None else None)
             for n, t in towers.items()
         }
-        return multimodal_contrastive_loss(embs, mb["labels"], logit_scale)
+        return multimodal_contrastive_loss(
+            embs, mb["labels"], logit_scale_value(params, logit_scale)
+        )
 
     from bioscan_clip_tpu.train.state import (
         grads_to_full_tree,
@@ -333,7 +366,7 @@ def make_accum_train_step(
 def make_gradcache_train_step(
     model, mesh, accum_steps: int, logit_scale: float = LOGIT_SCALE,
     openclip_norm: bool = False, disable_lora: bool = False,
-    color_jitter: bool = False,
+    color_jitter: bool = False, steps_per_call: int = 1,
 ):
     """Gradient accumulation with FULL-batch InfoNCE negatives (GradCache,
     Gao et al. 2021) — the reference's batch-400 ClipLoss semantics
@@ -351,7 +384,9 @@ def make_gradcache_train_step(
     Peak activation memory is one microbatch's towers; cost is one extra
     forward.
     """
-    from bioscan_clip_tpu.data.transforms import train_transform
+    from bioscan_clip_tpu.data.transforms import (
+        train_transform_auto as train_transform,
+    )
 
     towers = {}
     for name, method in (
@@ -363,7 +398,7 @@ def make_gradcache_train_step(
         if enc is not None:
             towers[name] = functools.partial(
                 lambda p, x, r, _m: model.apply(
-                    {"params": p}, x, deterministic=False,
+                    {"params": _tower_params(p)}, x, deterministic=False,
                     rngs={"dropout": r}, method=_m,
                 ),
                 _m=method,
@@ -400,12 +435,7 @@ def make_gradcache_train_step(
         partition_params,
     )
 
-    @functools.partial(
-        jax.jit,
-        donate_argnums=(0,),
-        out_shardings=(replicated(mesh), replicated(mesh)),
-    )
-    def train_step(state, batch, rng):
+    def macro_step(state, batch, rng):
         inputs = {k: v for k, v in batch.items() if k != "labels"}
         micro = split_batch(inputs, accum_steps)
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -425,12 +455,29 @@ def make_gradcache_train_step(
         )
         full = {k: v.reshape(-1, v.shape[-1]) for k, v in cached.items()}
 
-        # stage 2: full-batch loss -> embedding cotangents
-        loss, emb_grads = jax.value_and_grad(
-            lambda e: multimodal_contrastive_loss(
-                e, batch["labels"], logit_scale
+        # stage 2: full-batch loss -> embedding cotangents. With the
+        # learnable temperature the scale's gradient flows ONLY through this
+        # stage (the cached embeddings are constants w.r.t. the scale), so
+        # differentiate w.r.t. the trainable tree too and fold that in.
+        learnable_scale = (
+            isinstance(state.params, dict) and "logit_scale" in state.params
+        )
+
+        def s2_loss(e, tr):
+            return multimodal_contrastive_loss(
+                e, batch["labels"],
+                logit_scale_value(
+                    merge_partitions(tr, frozen), logit_scale
+                ),
             )
-        )(full)
+
+        if learnable_scale:
+            loss, (emb_grads, scale_grads) = jax.value_and_grad(
+                s2_loss, argnums=(0, 1)
+            )(full, trainable)
+        else:
+            loss, emb_grads = jax.value_and_grad(s2_loss)(full, trainable)
+            scale_grads = None
         emb_grads_micro = {
             k: v.reshape((accum_steps, -1) + v.shape[1:])
             for k, v in emb_grads.items()
@@ -458,10 +505,35 @@ def make_gradcache_train_step(
         g, _ = jax.lax.scan(
             s3, zero, (micro, emb_grads_micro, jnp.arange(accum_steps))
         )
+        if scale_grads is not None:
+            g = jax.tree.map(
+                lambda a, b: None if a is None else a + b,
+                g, scale_grads, is_leaf=lambda x: x is None,
+            )
         grads = grads_to_full_tree(g, state.params)
         return state.apply_gradients(grads), loss
 
-    return train_step
+    jit_wrap = functools.partial(
+        jax.jit,
+        donate_argnums=(0,),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    if steps_per_call <= 1:
+        return jit_wrap(macro_step)
+
+    # K GradCache macro-steps per device dispatch: lax.scan whose body is
+    # one full gradcache step — composes the batch-400 single-chip recipe
+    # with the per-dispatch-overhead amortization of make_scan_train_step
+    # (`tpu.steps_per_call` x `tpu.accum_steps` in the CLI). The stacked
+    # input is (K, B, ...) like make_scan_train_step's.
+    @jit_wrap
+    def train_steps(state, batches, rng):
+        def body(st, b):
+            return macro_step(st, b, rng)
+
+        return jax.lax.scan(body, state, batches, length=steps_per_call)
+
+    return train_steps
 
 
 def make_embed_step(model, mesh, modality: str, openclip_norm: bool = False):
@@ -581,16 +653,17 @@ def train_epoch(
     # fetched after step i+1 is enqueued, so the host never stalls the device
     # pipeline. Full per-step loss curves (reference train_epoch.py:58-59
     # logs every step) at TPU-async cost.
-    pending = None  # (step index, device loss) of the previous step
+    pending = None  # (step index, device loss, samples seen up to the step)
 
-    def record(idx, loss_dev):
+    def record(idx, loss_dev, n_seen=None):
         loss_v = float(loss_dev)
         losses.append(loss_v)
         if logger is not None and (idx % log_every == 0 or idx < 3):
+            n = n_samples if n_seen is None else n_seen
             logger(
                 f"epoch {epoch}/{total_epochs} step {idx} "
                 f"loss {loss_v:.4f} "
-                f"({n_samples / (time.perf_counter() - t_start):.1f} samples/s)"
+                f"({n / (time.perf_counter() - t_start):.1f} samples/s)"
             )
         if wandb_run is not None:
             wandb_run.log({"loss": loss_v, "epoch": epoch, "step": idx})
@@ -624,7 +697,21 @@ def train_epoch(
         for batch in dataloader:
             chunk.append(batch)
             if len(chunk) == steps_per_call:
-                state = run_chunk(state, chunk, base)
+                if profile_dir and base == 0:
+                    # profile the first K-step dispatch (covers the first
+                    # profile_steps steps and more — one dispatch is the
+                    # smallest traceable unit in scan mode)
+                    jax.profiler.start_trace(profile_dir)
+                    state = run_chunk(state, chunk, base)
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    if logger is not None:
+                        logger(
+                            f"profiler trace (first {steps_per_call}-step "
+                            f"dispatch) -> {profile_dir}"
+                        )
+                else:
+                    state = run_chunk(state, chunk, base)
                 base += len(chunk)
                 chunk = []
         if chunk:
@@ -639,7 +726,10 @@ def train_epoch(
             state, loss = train_step(state, batch, rng)
             if pending is not None:
                 record(*pending)
-            pending = (i, loss)
+            # capture the sample count as of THIS step: the deferred fetch
+            # happens after step i+1 is enqueued, and samples/s must not
+            # include that extra batch
+            pending = (i, loss, n_samples)
             if tracing and i + 1 >= profile_steps:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()

@@ -28,6 +28,10 @@ def param_labels(params, disable_lora: bool = False):
 
     def label_path(path):
         keys = [getattr(p, "key", None) for p in path]
+        # optional learnable temperature (train/loop.py make_logit_scale_param):
+        # trained without weight decay, like CLIP's logit_scale
+        if keys and keys[0] == "logit_scale":
+            return "scale"
         if disable_lora:
             return "trainable"
         for k in keys:
@@ -58,12 +62,13 @@ def partition_params(params, labels):
     (LoRA training then skips every frozen-weight dW matmul in the
     backward: ~1/3 of backward FLOPs and the full-size gradient tree)."""
 
-    def pick(want):
+    def pick(frozen: bool):
         return jax.tree.map(
-            lambda p, l: p if l == want else None, params, labels
+            lambda p, l: p if (l == "frozen") == frozen else None,
+            params, labels,
         )
 
-    return pick("trainable"), pick("frozen")
+    return pick(False), pick(True)
 
 
 def merge_partitions(trainable, frozen):
@@ -93,7 +98,7 @@ def count_trainable(params, labels) -> tuple:
     for leaf, lab in zip(
         jax.tree.leaves(params), jax.tree.leaves(labels)
     ):
-        if lab == "trainable":
+        if lab != "frozen":
             tr += leaf.size
         else:
             fr += leaf.size
@@ -130,6 +135,9 @@ def create_train_state(
             "trainable": optax.adamw(
                 learning_rate=schedule, weight_decay=weight_decay
             ),
+            # learnable logit scale: Adam WITHOUT weight decay (decaying a
+            # log-temperature toward 0 would anneal tau toward 1)
+            "scale": optax.adam(learning_rate=schedule),
             "frozen": optax.set_to_zero(),
         },
         labels,

@@ -85,3 +85,44 @@ def test_gradcache_descends_on_mesh():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_scan_gradcache_matches_sequential_gradcache():
+    """tpu.steps_per_call x tpu.accum_steps: K GradCache macro-steps in ONE
+    dispatch == K sequential GradCache dispatches (VERDICT r2 item 3)."""
+    import jax.numpy as jnp
+
+    from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
+    from bioscan_clip_tpu.train.loop import (
+        make_gradcache_train_step,
+        stack_batches,
+    )
+
+    model = _tiny_model()
+    mesh = create_mesh(devices=jax.devices()[:2])
+    K = 3
+    batches = [_batch(16, seed=s) for s in range(K)]
+    rng = jax.random.PRNGKey(5)
+
+    s1 = _init_state(model)
+    gc = make_gradcache_train_step(model, mesh, accum_steps=4)
+    seq_losses = []
+    for b in batches:
+        s1, loss = gc(s1, shard_batch(b, mesh), rng)
+        seq_losses.append(float(loss))
+
+    s2 = _init_state(model)
+    gck = make_gradcache_train_step(
+        model, mesh, accum_steps=4, steps_per_call=K
+    )
+    stacked = shard_stacked_batches(stack_batches(batches), mesh)
+    s2, losses_k = gck(s2, stacked, rng)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_k), np.asarray(seq_losses), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+        )
+    assert int(s2.step) == K

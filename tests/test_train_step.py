@@ -231,3 +231,48 @@ def test_train_epoch_scan_matches_sequential():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
         )
+
+
+def test_learnable_logit_scale():
+    """mc.learnable_logit_scale: the log-temperature is a trainable param
+    (no weight decay label), its gradient is nonzero in both the plain and
+    the GradCache step, and it moves under training."""
+    from bioscan_clip_tpu.train.loop import (
+        make_gradcache_train_step,
+        make_logit_scale_param,
+        logit_scale_value,
+    )
+
+    model = _tiny_model()
+    state0 = _init_state(model)
+    params = make_logit_scale_param(dict(state0.params))
+    assert float(jnp.exp(params["logit_scale"])) == pytest.approx(1 / 0.07)
+    labels = param_labels(params)
+    assert jax.tree.leaves(labels)  # sanity
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    scale_labels = [
+        v for p, v in flat if getattr(p[0], "key", None) == "logit_scale"
+    ]
+    assert scale_labels == ["scale"]
+
+    mesh = create_mesh()
+    batch = shard_batch(_batch(16), mesh)
+    step = make_train_step(model, mesh)
+    before = float(params["logit_scale"])
+    # fresh leaf copies per state: the jitted steps donate their state
+    fresh = lambda: jax.tree.map(jnp.array, params)
+    state = create_train_state(model, fresh(), lambda s: 1e-2)
+    state2, loss = step(state, batch, jax.random.PRNGKey(0))
+    after = float(state2.params["logit_scale"])
+    assert after != before  # nonzero gradient reached the scale
+
+    # GradCache path: the scale gradient flows through stage 2
+    state = create_train_state(model, fresh(), lambda s: 1e-2)
+    gstep = make_gradcache_train_step(model, mesh, accum_steps=2)
+    state3, gloss = gstep(state, batch, jax.random.PRNGKey(0))
+    assert float(state3.params["logit_scale"]) != before
+
+    # helper falls back to the fixed value without the param
+    assert float(
+        logit_scale_value(dict(state0.params), 1 / 0.07)
+    ) == pytest.approx(1 / 0.07)
