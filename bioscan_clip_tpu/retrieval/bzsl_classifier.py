@@ -108,8 +108,11 @@ class BZSLClassifier:
         for c in sorted(set(stats) | set(int(u) for u in unseen_classes)):
             if c in stats:  # seen: conjugate update with its own data
                 n, xbar, S = stats[c]
-                neigh = [
-                    k for k in _surrogates(seen_dna, dna_means[c], p.K + 1)
+                c_dna = dna_means.get(c)
+                # a seen class with no DNA side info falls back to its own
+                # mean prior (the same no-neighbour path below)
+                neigh = [] if c_dna is None else [
+                    k for k in _surrogates(seen_dna, c_dna, p.K + 1)
                     if k != c
                 ][: p.K]
                 mu0 = (

@@ -66,8 +66,8 @@ def _topk_scan(queries, keys, n_valid, k: int, key_chunk: int,
     if axis_name is not None:
         # under shard_map the carry interacts with axis-varying values; mark
         # the init carry as varying over the mesh axis
-        init_vals = jax.lax.pvary(init_vals, (axis_name,))
-        init_idx = jax.lax.pvary(init_idx, (axis_name,))
+        init_vals = jax.lax.pcast(init_vals, (axis_name,), to="varying")
+        init_idx = jax.lax.pcast(init_idx, (axis_name,), to="varying")
 
     def body(carry, inp):
         vals, idxs = carry
@@ -98,108 +98,135 @@ def _topk_scan(queries, keys, n_valid, k: int, key_chunk: int,
     return vals, idxs
 
 
-def topk_search(
-    query_feature,
-    keys_feature,
-    k: int,
-    mesh=None,
-    key_chunk: int = 65536,
-    query_chunk: int = 8192,
-    use_pallas: Optional[bool] = None,
-    max_device_keys: Optional[int] = None,
-    precision: str = "high",
-    _interpret: bool = False,
-):
-    """Exact top-k inner-product search. Returns (similarities, indices) as
-    numpy arrays, shapes (Bq, k) — the FAISS `index.search` contract.
+PALLAS_TILE = 512
+Q_BLOCK = 256
 
-    If `mesh` is given and has >1 device on the data axis, keys are sharded
-    across devices and per-device top-ks are merged exactly. On a single
-    TPU device with a large key set the fused Pallas kernel
-    (ops/topk_pallas.py, ~2.7x the XLA scan at 1M keys) is used; set
-    `use_pallas=False` to force the XLA path.
 
-    Key sets larger than device memory (SURVEY.md §2.9: up to ~5M x 768 on
-    BIOSCAN-5M = 15.4 GB fp32 vs 16 GB HBM/chip) are HOST-STREAMED: keys
-    stay in host RAM, device-sized slabs are searched one at a time, and
-    the per-slab top-ks are merged exactly on host. `max_device_keys`
-    overrides the per-device slab budget (default sized so keys + padding
-    + workspace fit one chip).
-
-    `precision`: score-matmul precision on TPU. "high" (default, bf16x3)
-    is fp32-faithful like the FAISS IndexFlatIP this engine replaces;
-    "default" is single-pass bf16 (~2x faster scores, ~2e-3 score error —
-    fine for throughput benchmarking, can flip near-ties)."""
-    q = np.asarray(query_feature, dtype=np.float32)
-    ks = np.asarray(keys_feature, dtype=np.float32)
-    n_keys, d = ks.shape
-    k_eff = min(k, n_keys)
-
-    if max_device_keys is None:
-        # ~6 GB of fp32 keys per device (v5e: 16 GB HBM minus queries,
-        # scores, and kernel workspace)
-        n_dev_budget = 1
-        if mesh is not None:
-            n_dev_budget = int(
-                np.prod([mesh.shape[a] for a in mesh.axis_names])
-            )
-        max_device_keys = int(6e9 / (4 * d)) * n_dev_budget
-    if n_keys > max_device_keys:
-        best_v = best_i = None
-        for start in range(0, n_keys, max_device_keys):
-            stop = min(start + max_device_keys, n_keys)
-            v, i = topk_search(
-                q, ks[start:stop], k_eff, mesh=mesh, key_chunk=key_chunk,
-                query_chunk=query_chunk, use_pallas=use_pallas,
-                max_device_keys=max_device_keys, precision=precision,
-                _interpret=_interpret,
-            )
-            i = i.astype(np.int64) + start
-            if best_v is None:
-                best_v, best_i = v, i
-            else:  # exact host merge of two sorted top-k lists
-                cat_v = np.concatenate([best_v, v], axis=1)
-                cat_i = np.concatenate([best_i, i], axis=1)
-                sel = np.argsort(-cat_v, axis=1, kind="stable")[:, :k_eff]
-                best_v = np.take_along_axis(cat_v, sel, axis=1)
-                best_i = np.take_along_axis(cat_i, sel, axis=1)
-        return best_v, best_i
-
+def _device_budget_keys(d: int, mesh, streaming_halved: bool = False) -> int:
+    """fp32 key rows per device: 37.5% of the device's HBM when it reports
+    a limit (leaves room for queries, padding, scores, kernel workspace),
+    else ~6 GB (the v5e 16 GB assumption). Halved when double-buffered
+    streaming keeps TWO slabs resident."""
+    budget_bytes = 6e9
+    try:
+        dev = mesh.devices.flat[0] if mesh is not None else jax.devices()[0]
+        ms = dev.memory_stats()
+        if ms and ms.get("bytes_limit"):
+            budget_bytes = 0.375 * float(ms["bytes_limit"])
+    except Exception:
+        pass
+    if streaming_halved:
+        budget_bytes /= 2
     n_dev = 1
     if mesh is not None:
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    return int(budget_bytes / (4 * d)) * n_dev
 
-    if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu" and n_keys >= 100_000 * n_dev
-        )
+
+class PreparedKeys:
+    """Key matrix prepared ONCE for repeated top-k searches: padded to the
+    device/kernel layout and uploaded (device-resident case), or held on
+    host for slab streaming (> HBM case). Reusing a PreparedKeys across an
+    eval sweep's 5 query types skips 4 of the 5 multi-GB uploads
+    (VERDICT r2 weak #4)."""
+
+    def __init__(self, keys, mesh=None, key_chunk: int = 65536,
+                 use_pallas: Optional[bool] = None,
+                 max_device_keys: Optional[int] = None,
+                 precision: str = "high", normalized: bool = False):
+        ks = np.asarray(keys, dtype=np.float32)
+        if not normalized:
+            ks = l2norm_np(ks)
+        self.n_keys, self.d = ks.shape
+        self.mesh = mesh
+        self.precision = precision
+        self.n_dev = 1
+        if mesh is not None:
+            self.n_dev = int(
+                np.prod([mesh.shape[a] for a in mesh.axis_names])
+            )
+        self.streaming = False
+        self.host_keys = None
+        self.max_device_keys = max_device_keys
+        if max_device_keys is None:
+            resident_budget = _device_budget_keys(self.d, mesh)
+            if self.n_keys > resident_budget:
+                # double-buffered streaming keeps 2 slabs resident
+                self.max_device_keys = _device_budget_keys(
+                    self.d, mesh, streaming_halved=True
+                )
+            else:
+                self.max_device_keys = resident_budget
+        if self.n_keys > self.max_device_keys:
+            self.streaming = True
+            self.host_keys = ks
+            self.use_pallas = use_pallas
+            self.key_chunk = key_chunk
+            return
+
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and self.n_keys >= 100_000 * self.n_dev
+            )
+        self.use_pallas = use_pallas
+        # pad keys so each device shard divides into whole chunks/tiles
+        shard = -(-self.n_keys // self.n_dev)
+        if use_pallas:
+            shard_pad = _round_up(shard, PALLAS_TILE)
+        else:
+            key_chunk = min(key_chunk, _round_up(shard, 8))
+            shard_pad = _round_up(shard, key_chunk)
+        self.key_chunk = key_chunk
+        self.shard_pad = shard_pad
+        n_pad = shard_pad * self.n_dev
+        ks_p = np.zeros((n_pad, self.d), dtype=np.float32)
+        ks_p[: self.n_keys] = ks
+        if self.n_dev > 1:
+            self.keys_dev = jax.device_put(
+                ks_p, NamedSharding(mesh, P(DATA_AXIS, None))
+            )
+        else:
+            self.keys_dev = jnp.asarray(ks_p)
+
+
+def _search_prepared(q, pk: PreparedKeys, k_eff: int, query_chunk: int,
+                     _interpret: bool):
+    """Top-k of q against a device-resident PreparedKeys."""
+    n_keys, n_dev, precision = pk.n_keys, pk.n_dev, pk.precision
+    use_pallas, key_chunk = pk.use_pallas, pk.key_chunk
+
     if use_pallas and n_dev == 1:
-        from bioscan_clip_tpu.ops.topk_pallas import topk_search_pallas
+        # direct kernel calls against the resident padded keys (no re-pad,
+        # no re-upload — that is the whole point of PreparedKeys)
+        from bioscan_clip_tpu.ops.topk_pallas import pallas_topk
 
-        return topk_search_pallas(
-            q, ks, k_eff, query_chunk=min(query_chunk, 1024),
-            interpret=_interpret, precision=precision,
-        )
+        query_chunk = min(query_chunk, 1024)
+        sims = np.empty((q.shape[0], k_eff), np.float32)
+        idxs = np.empty((q.shape[0], k_eff), np.int64)
+        for s in range(0, q.shape[0], query_chunk):
+            qc = q[s : s + query_chunk]
+            nb = qc.shape[0]
+            qb = min(Q_BLOCK, nb)
+            pad = (-nb) % qb
+            if pad:
+                qc = np.concatenate(
+                    [qc, np.zeros((pad, pk.d), np.float32)], axis=0
+                )
+            v, i = pallas_topk(
+                jnp.asarray(qc), pk.keys_dev, n_keys, k=k_eff,
+                tile=PALLAS_TILE, q_block=qb, interpret=_interpret,
+                precision=precision,
+            )
+            sims[s : s + nb] = np.asarray(v)[:nb]
+            idxs[s : s + nb] = np.asarray(i, dtype=np.int64)[:nb]
+        return sims, idxs
 
-    PALLAS_TILE = 512
-    Q_BLOCK = 256
-    # pad keys so each device shard divides into whole chunks / kernel tiles
-    shard = -(-n_keys // n_dev)
-    if use_pallas:
-        shard_pad = _round_up(shard, PALLAS_TILE)
-    else:
-        key_chunk = min(key_chunk, _round_up(shard, 8))
-        shard_pad = _round_up(shard, key_chunk)
-    n_pad = shard_pad * n_dev
-    ks_p = np.zeros((n_pad, d), dtype=np.float32)
-    ks_p[:n_keys] = ks
-
+    shard_pad = pk.shard_pad
     if n_dev > 1:
         from jax import shard_map
 
-        keys_sharded = jax.device_put(
-            ks_p, NamedSharding(mesh, P(DATA_AXIS, None))
-        )
+        mesh = pk.mesh
 
         def search(qd, kd):
             def local(qq, kk):
@@ -242,7 +269,6 @@ def topk_search(
                 )
             )(qd, kd)
     else:
-        keys_sharded = jnp.asarray(ks_p)
 
         def search(qd, kd):
             return _topk_scan(
@@ -259,11 +285,104 @@ def topk_search(
         n_q = qs.shape[0]
         if use_pallas and n_dev > 1 and n_q % min(Q_BLOCK, n_q) != 0:
             pad = _round_up(n_q, Q_BLOCK) - n_q
-            qs = np.concatenate([qs, np.zeros((pad, d), np.float32)], axis=0)
-        vals, idxs = search(jnp.asarray(qs), keys_sharded)
+            qs = np.concatenate(
+                [qs, np.zeros((pad, pk.d), np.float32)], axis=0
+            )
+        vals, idxs = search(jnp.asarray(qs), pk.keys_dev)
         sims_out[s : s + n_q] = np.asarray(vals)[:n_q]
         idx_out[s : s + n_q] = np.asarray(idxs, dtype=np.int64)[:n_q]
     return sims_out, idx_out
+
+
+def topk_search(
+    query_feature,
+    keys_feature,
+    k: int,
+    mesh=None,
+    key_chunk: int = 65536,
+    query_chunk: int = 8192,
+    use_pallas: Optional[bool] = None,
+    max_device_keys: Optional[int] = None,
+    precision: str = "high",
+    _interpret: bool = False,
+):
+    """Exact top-k inner-product search. Returns (similarities, indices) as
+    numpy arrays, shapes (Bq, k) — the FAISS `index.search` contract.
+
+    `keys_feature` may be a raw (N, D) array or a `PreparedKeys` (keys
+    normalized/padded/uploaded once and reused across calls — the eval
+    sweep in retrieval/report.py does this). NOTE: raw arrays are searched
+    as-is (no normalization), matching the historical contract;
+    PreparedKeys normalizes at construction unless `normalized=True`.
+
+    If `mesh` is given and has >1 device on the data axis, keys are sharded
+    across devices and per-device top-ks are merged exactly. On a single
+    TPU device with a large key set the fused Pallas kernel
+    (ops/topk_pallas.py, ~2.7x the XLA scan at 1M keys) is used; set
+    `use_pallas=False` to force the XLA path.
+
+    Key sets larger than device memory (SURVEY.md §2.9: up to ~5M x 768 on
+    BIOSCAN-5M = 15.4 GB fp32 vs 16 GB HBM/chip) are HOST-STREAMED with
+    DOUBLE BUFFERING: while the kernel searches slab i, slab i+1's
+    `device_put` is already in flight, so total time ~= max(upload,
+    compute) per slab instead of their sum. Per-slab top-ks merge exactly
+    on host. `max_device_keys` overrides the per-device slab budget.
+
+    `precision`: score-matmul precision on TPU. "high" (default, bf16x3)
+    is fp32-faithful like the FAISS IndexFlatIP this engine replaces;
+    "default" is single-pass bf16 (~2x faster scores, ~2e-3 score error —
+    fine for throughput benchmarking, can flip near-ties)."""
+    q = np.asarray(query_feature, dtype=np.float32)
+
+    if isinstance(keys_feature, PreparedKeys):
+        pk = keys_feature
+    else:
+        pk = PreparedKeys(
+            np.asarray(keys_feature, dtype=np.float32), mesh=mesh,
+            key_chunk=key_chunk, use_pallas=use_pallas,
+            max_device_keys=max_device_keys, precision=precision,
+            normalized=True,  # historical topk_search contract: as-is
+        )
+    k_eff = min(k, pk.n_keys)
+
+    if not pk.streaming:
+        return _search_prepared(q, pk, k_eff, query_chunk, _interpret)
+
+    # host-streamed slabs with double buffering: prepare (pad + async
+    # device_put) slab i+1 while slab i is being searched
+    ks = pk.host_keys
+    slab = pk.max_device_keys
+    bounds = [
+        (s, min(s + slab, pk.n_keys)) for s in range(0, pk.n_keys, slab)
+    ]
+
+    def _prep(b):
+        return PreparedKeys(
+            ks[b[0] : b[1]], mesh=pk.mesh, key_chunk=pk.key_chunk,
+            use_pallas=pk.use_pallas, max_device_keys=slab,
+            precision=pk.precision, normalized=True,
+        )
+
+    best_v = best_i = None
+    nxt = _prep(bounds[0])  # device_put dispatches asynchronously
+    for j, (start, stop) in enumerate(bounds):
+        cur = nxt
+        if j + 1 < len(bounds):
+            nxt = _prep(bounds[j + 1])  # upload overlaps the search below
+        v, i = _search_prepared(
+            q, cur, min(k_eff, stop - start), query_chunk, _interpret
+        )
+        del cur
+        i = i.astype(np.int64) + start
+        if best_v is None:
+            best_v, best_i = v, i
+        else:  # exact host merge of two sorted top-k lists
+            cat_v = np.concatenate([best_v, v], axis=1)
+            cat_i = np.concatenate([best_i, i], axis=1)
+            sel = np.argsort(-cat_v, axis=1, kind="stable")[:, :k_eff]
+            best_v = np.take_along_axis(cat_v, sel, axis=1)
+            best_i = np.take_along_axis(cat_i, sel, axis=1)
+    return best_v, best_i
 
 
 def find_k_closest_records(
@@ -294,9 +413,13 @@ def make_prediction(
 ):
     """Reference-parity prediction (inference_and_eval.py:414-445): normalize
     query+keys, top-k search, expand neighbor indices into per-level label
-    lists."""
+    lists. `keys_feature` may be a PreparedKeys (already normalized +
+    device-resident) to amortize the key upload across query types."""
     qn = l2norm_np(query_feature)
-    kn = l2norm_np(keys_feature)
+    if isinstance(keys_feature, PreparedKeys):
+        kn = keys_feature
+    else:
+        kn = l2norm_np(keys_feature)
     similarities, indices = topk_search(qn, kn, max_k, mesh=mesh)
 
     pred_list = []

@@ -16,7 +16,7 @@ import os
 
 import numpy as np
 
-from bioscan_clip_tpu.retrieval.engine import make_prediction
+from bioscan_clip_tpu.retrieval.engine import PreparedKeys, make_prediction
 from bioscan_clip_tpu.retrieval.metrics import (
     LEVELS,
     top_k_macro_accuracy,
@@ -124,6 +124,7 @@ def inference_and_print_result(
     """Reference-parity sweep (inference_and_eval.py:633-715). Returns
     (acc_dict, per_class_acc, pred_dict)."""
     acc_dict, per_class_acc, pred_dict = {}, {}, {}
+    prepared_keys = {}  # key type -> PreparedKeys (one upload per key set)
     k_list = k_list or [1, 3, 5]
     max_k = k_list[-1]
 
@@ -158,8 +159,16 @@ def inference_and_print_result(
             ):
                 continue
 
-            seen_pred = make_prediction(qs, kf, keys_label, max_k=max_k, mesh=mesh)
-            unseen_pred = make_prediction(qu, kf, keys_label, max_k=max_k, mesh=mesh)
+            # normalize + upload each key matrix ONCE for the whole sweep
+            # (up to 5 query types x {seen, unseen} reuse it) instead of
+            # per combination — at 5M-key scale that skips ~9/10 multi-GB
+            # transfers
+            if kt not in prepared_keys:
+                prepared_keys[kt] = PreparedKeys(kf, mesh=mesh)
+            pk = prepared_keys[kt]
+
+            seen_pred = make_prediction(qs, pk, keys_label, max_k=max_k, mesh=mesh)
+            unseen_pred = make_prediction(qu, pk, keys_label, max_k=max_k, mesh=mesh)
             pred_dict[qt][kt] = {
                 "curr_seen_pred_list": seen_pred,
                 "curr_unseen_pred_list": unseen_pred,
