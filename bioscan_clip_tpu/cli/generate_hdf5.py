@@ -72,6 +72,8 @@ def build_hdf5(
     flavor: str = "bioscan_5m",
     threads: int = 16,
     out=print,
+    allow_stub_tokens: bool = False,
+    vocab_path=None,
 ):
     """Assemble the split HDF5. `image_path_fn(row) -> path` lets callers
     adapt directory layouts (5M uses chunked dirs)."""
@@ -112,7 +114,10 @@ def build_hdf5(
             f"({time.time() - t0:.1f}s elapsed)"
         )
 
-    write_split_hdf5(output_path, splits, dataset_flavor=flavor)
+    write_split_hdf5(
+        output_path, splits, dataset_flavor=flavor,
+        allow_stub_tokens=allow_stub_tokens, vocab_path=vocab_path,
+    )
     out(f"wrote {output_path} in {time.time() - t0:.1f}s")
 
 
@@ -125,11 +130,17 @@ def main(argv=None):
     p.add_argument("--flavor", choices=["bioscan_1m", "bioscan_5m"],
                    default="bioscan_5m")
     p.add_argument("--threads", type=int, default=16)
+    p.add_argument("--vocab", default=None, help="vocab.txt for the NATIVE "
+                   "WordPiece label tokenizer (no HF cache needed)")
+    p.add_argument("--allow-stub-tokens", action="store_true",
+                   help="TEST ONLY: write deterministic fake language "
+                   "tokens when no tokenizer is available")
     a = p.parse_args(argv)
     sep = "\t" if a.metadata.endswith(".tsv") else ","
     md = pd.read_csv(a.metadata, sep=sep)
     build_hdf5(
-        md, a.image_dir, a.output, flavor=a.flavor, threads=a.threads
+        md, a.image_dir, a.output, flavor=a.flavor, threads=a.threads,
+        allow_stub_tokens=a.allow_stub_tokens, vocab_path=a.vocab,
     )
 
 

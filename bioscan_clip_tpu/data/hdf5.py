@@ -132,6 +132,8 @@ def write_split_hdf5(
     max_image_bytes: Optional[int] = None,
     tokenize_language: bool = True,
     dataset_flavor: str = "bioscan_1m",
+    allow_stub_tokens: bool = False,
+    vocab_path: Optional[str] = None,
 ):
     """Write a schema-compatible split HDF5 (used for synthetic fixtures and
     as the core of the dataset builder; mirrors generate_hdf5_file_5m.py).
@@ -194,10 +196,21 @@ def write_split_hdf5(
                         tokenize_labels_bert_small,
                     )
 
-                    lt = tokenize_labels_bert_small(strings)
-                except Exception:
-                    # offline without a cached tokenizer: deterministic stub
-                    # tokens (tests only exercise shapes/plumbing)
+                    lt = tokenize_labels_bert_small(
+                        strings, vocab_path=vocab_path
+                    )
+                except Exception as e:
+                    if not allow_stub_tokens:
+                        raise RuntimeError(
+                            "write_split_hdf5: no BERT-small tokenizer "
+                            "available (no cached HF tokenizer and no "
+                            "vocab_path/$BSCAN_BERT_VOCAB for the native "
+                            "WordPiece). Refusing to write FAKE language "
+                            "tokens into a data artifact; pass "
+                            "allow_stub_tokens=True (tests only) or supply "
+                            "a vocab.txt."
+                        ) from e
+                    # test fixtures only: deterministic stub tokens
                     h = np.array(
                         [
                             [abs(hash(s + str(j))) % 30000 for j in range(20)]

@@ -115,6 +115,8 @@ class BioscanLoader:
         openclip_norm: bool = False,
         process_index: int = 0,
         process_count: int = 1,
+        train_crop: bool = False,
+        train_crop_size: int = 224,
     ):
         self.reader = SplitReader(hdf5_path, split)
         self.split = split
@@ -136,6 +138,13 @@ class BioscanLoader:
         # sources can't distort (reference dataset.py:194-200)
         self.eval_parity = eval_parity and not for_training
         self.openclip_norm = openclip_norm
+        # host-side Resize(256)+RandomResizedCrop(224) for the TRAIN path:
+        # ships (224, 224, 3) uint8 per sample (~2x fewer bytes than the
+        # shorter-side-256 frame) so K-steps-per-dispatch stacked batches fit
+        # twice the K in HBM (PERF_NOTES.md round 2 memory ceiling). The
+        # device train_transform then skips its crop stage (pre_cropped).
+        self.train_crop = train_crop and for_training
+        self.train_crop_size = train_crop_size
         self.process_index = process_index
         self.process_count = process_count
         self.n = len(self.reader)
@@ -216,7 +225,35 @@ class BioscanLoader:
                     )
                 )
             )
-        if self.with_image and self._use_native and "image" not in batch:
+        if self.with_image and self.train_crop and "image" not in batch:
+            from bioscan_clip_tpu.data.transforms import (
+                host_random_resized_crop,
+            )
+
+            bufs = self.reader.read_images_bytes(idx)
+            imgs = list(self._pool.map(_decode_jpeg, bufs))
+            # independent per-image streams, deterministic in
+            # (seed, epoch, first index of the batch)
+            rngs = np.random.default_rng(
+                [self.seed, self.epoch, int(idx[0])]
+            ).spawn(len(imgs))
+            batch["image_u8"] = np.stack(
+                list(
+                    self._pool.map(
+                        lambda t: host_random_resized_crop(
+                            t[0], t[1], size=self.train_crop_size,
+                            resize_to=self.host_resize_to,
+                        ),
+                        zip(imgs, rngs),
+                    )
+                )
+            )
+        if (
+            self.with_image
+            and self._use_native
+            and "image" not in batch
+            and "image_u8" not in batch
+        ):
             from bioscan_clip_tpu.data import native_io
 
             bufs = self.reader.read_images_bytes(idx)

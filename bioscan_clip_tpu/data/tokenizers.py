@@ -110,15 +110,30 @@ def build_label_strings(order, family, genus, species) -> list:
     ]
 
 
-def tokenize_labels_bert_small(strings, max_length: int = 20):
+def tokenize_labels_bert_small(strings, max_length: int = 20,
+                               vocab_path: str = None):
     """Tokenize label strings with the BERT-small tokenizer, matching the
     HDF5 builder (scripts/generate_hdf5_file_5m.py:281-285: padding to
     max_length=20, truncation).
+
+    Source order: an explicit `vocab_path` (or $BSCAN_BERT_VOCAB) runs the
+    NATIVE WordPiece implementation (data/wordpiece.py, golden-tested
+    against transformers); otherwise the cached HF tokenizer is used.
+    Raises if neither is available — callers that tolerate stub tokens must
+    opt in explicitly (write_split_hdf5 `allow_stub_tokens`).
 
     Returns dict of (N, max_length) int32 arrays:
     input_ids / token_type_ids / attention_mask.
     """
     import os
+
+    vocab_path = vocab_path or os.environ.get("BSCAN_BERT_VOCAB")
+    if vocab_path:
+        from bioscan_clip_tpu.data.wordpiece import WordPieceTokenizer
+
+        return WordPieceTokenizer(vocab_path).encode_batch(
+            strings, max_length=max_length
+        )
 
     from transformers import AutoTokenizer
 

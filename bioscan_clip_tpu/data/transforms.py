@@ -288,22 +288,33 @@ def eval_transform(images_u8, size: int = 224, resize_to: int = 256,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("size", "resize_to", "normalize", "jitter")
+    jax.jit,
+    static_argnames=("size", "resize_to", "normalize", "jitter",
+                     "pre_cropped"),
 )
 def train_transform(images_u8, rng, size: int = 224, resize_to: int = 256,
-                    normalize: bool = False, jitter: bool = False):
+                    normalize: bool = False, jitter: bool = False,
+                    pre_cropped: bool = False):
     """ToTensor -> Resize(256) -> RandomResizedCrop(224) -> HFlip -> VFlip ->
     RandomRotation(±45) [OpenCLIP path: Normalize before the flips, matching
     dataset.py:156-168 ordering]. `jitter` appends ColorJitter(0.5 x4) —
     the INSECT train transform's extra last stage
-    (dataset_for_insect_dataset.py:116-118)."""
+    (dataset_for_insect_dataset.py:116-118).
+
+    `pre_cropped=True`: the loader already did Resize+RandomResizedCrop on
+    host (data/pipeline.py train_crop path, (size, size, 3) uint8 input) —
+    halves the uint8 batch bytes resident on device (the stacked-batch
+    memory ceiling of the K-steps-per-dispatch scan, PERF_NOTES.md round 2).
+    Only the flip/rotation/jitter stages run on device then."""
     k_crop, k_flip, k_rot, k_jit = jax.random.split(rng, 4)
     x = images_u8.astype(jnp.float32) / 255.0
-    # keep the uint8 conversion out of the vmap'd crop-resize kernel: fusing
-    # them makes XLA:TPU emit a pathologically slow gather (observed 1000x)
-    x = jax.lax.optimization_barrier(x)
-    x = resize_shorter_side(x, resize_to)
-    x = random_resized_crop(x, k_crop, size)
+    if not pre_cropped:
+        # keep the uint8 conversion out of the vmap'd crop-resize kernel:
+        # fusing them makes XLA:TPU emit a pathologically slow gather
+        # (observed 1000x)
+        x = jax.lax.optimization_barrier(x)
+        x = resize_shorter_side(x, resize_to)
+        x = random_resized_crop(x, k_crop, size)
     if normalize:
         x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
     x = random_flips(x, k_flip)
@@ -311,6 +322,62 @@ def train_transform(images_u8, rng, size: int = 224, resize_to: int = 256,
     if jitter:
         x = color_jitter(x, k_jit)
     return x
+
+
+def train_transform_auto(images_u8, rng, size: int = 224, **kw):
+    """train_transform with `pre_cropped` inferred from the static input
+    shape: a (B, size, size, 3) batch can only come from the host
+    RandomResizedCrop path (the pipeline's shorter-side resize always ships
+    >= resize_to pixels on the shorter side otherwise)."""
+    pre = images_u8.shape[1] == size and images_u8.shape[2] == size
+    return train_transform(images_u8, rng, size=size, pre_cropped=pre, **kw)
+
+
+def host_random_resized_crop(
+    img: "np.ndarray", rng, size: int = 224, resize_to: int = 256,
+    scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+):
+    """Host-side Resize(256) -> RandomResizedCrop(224) (cv2), matching
+    torchvision RandomResizedCrop.get_params semantics (10 proposals, first
+    valid wins, central ratio-clamped fallback). Returns (size, size, 3)
+    uint8. Used by the pipeline's `train_crop` option so stacked multi-step
+    batches ship 224^2 instead of 256x341 pixels per sample."""
+    import math as _math
+
+    import cv2
+    import numpy as np
+
+    h0, w0 = img.shape[:2]
+    nh, nw = tv_resize_size(h0, w0, resize_to)
+    if (nh, nw) != (h0, w0):
+        interp = cv2.INTER_AREA if nh < h0 else cv2.INTER_LINEAR
+        img = cv2.resize(img, (nw, nh), interpolation=interp)
+    H, W = nh, nw
+    area = H * W
+    i = j = ch = cw = None
+    for _ in range(10):
+        ta = area * rng.uniform(scale[0], scale[1])
+        log_r = rng.uniform(_math.log(ratio[0]), _math.log(ratio[1]))
+        r = _math.exp(log_r)
+        w = int(round(_math.sqrt(ta * r)))
+        h = int(round(_math.sqrt(ta / r)))
+        if 0 < w <= W and 0 < h <= H:
+            i = int(rng.integers(0, H - h + 1))
+            j = int(rng.integers(0, W - w + 1))
+            ch, cw = h, w
+            break
+    if i is None:  # central fallback clamped to the ratio range
+        in_ratio = W / H
+        if in_ratio < ratio[0]:
+            cw, ch = W, int(round(W / ratio[0]))
+        elif in_ratio > ratio[1]:
+            ch, cw = H, int(round(H * ratio[1]))
+        else:
+            cw, ch = W, H
+        i, j = (H - ch) // 2, (W - cw) // 2
+    crop = img[i : i + ch, j : j + cw]
+    out = cv2.resize(crop, (size, size), interpolation=cv2.INTER_LINEAR)
+    return np.ascontiguousarray(out, dtype=np.uint8)
 
 
 # --------------------------------------------------------------------------

@@ -73,7 +73,7 @@ def build_synthetic_dataset(path, n_classes=4, per_class=6, seed=0):
         "test_unseen_keys": make_split_records(n_classes, 2, seed + 8),
         "all_keys": make_split_records(n_classes, 4, seed + 9),
     }
-    write_split_hdf5(path, splits)
+    write_split_hdf5(path, splits, allow_stub_tokens=True)
     return path
 
 

@@ -202,3 +202,45 @@ def test_end_to_end_train_epoch(args):
     )
     assert int(state.step) == 3
     assert stats["samples_per_s"] > 0
+
+
+def test_train_crop_loader_and_transform(dataset_path):
+    """tpu.train_crop: host RandomResizedCrop emits (B, 224, 224, 3) uint8
+    and train_transform_auto skips its device crop stage on that shape."""
+    a = SyntheticArgs(dataset_path, batch_size=8)
+    a.cfg.merge({"tpu": {"train_crop": True}})
+    loader = construct_dataloader(
+        a, "no_split_and_seen_train", for_pre_train=True, shuffle=True
+    )
+    b = next(iter(loader))
+    assert b["image_u8"].dtype == np.uint8
+    assert b["image_u8"].shape == (8, 224, 224, 3)
+
+    from bioscan_clip_tpu.data.transforms import train_transform_auto
+
+    out = train_transform_auto(
+        jnp.asarray(b["image_u8"]), jax.random.PRNGKey(0)
+    )
+    assert out.shape == (8, 224, 224, 3)
+    assert out.dtype == jnp.float32
+    assert float(out.max()) <= 1.0 and float(out.min()) >= 0.0
+    # determinism in (seed, epoch, batch head): a fresh loader reproduces
+    loader2 = construct_dataloader(
+        a, "no_split_and_seen_train", for_pre_train=True, shuffle=True
+    )
+    b2 = next(iter(loader2))
+    np.testing.assert_array_equal(b["image_u8"], b2["image_u8"])
+
+
+def test_host_random_resized_crop_semantics():
+    from bioscan_clip_tpu.data.transforms import host_random_resized_crop
+
+    img = (np.random.default_rng(0).integers(
+        0, 256, size=(300, 400, 3))).astype(np.uint8)
+    rng = np.random.default_rng(1)
+    out = host_random_resized_crop(img, rng, size=224, resize_to=256)
+    assert out.shape == (224, 224, 3) and out.dtype == np.uint8
+    # tiny source still produces a full-size crop (fallback path)
+    tiny = img[:40, :30]
+    out2 = host_random_resized_crop(tiny, np.random.default_rng(2), size=224)
+    assert out2.shape == (224, 224, 3)

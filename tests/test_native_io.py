@@ -81,7 +81,7 @@ def test_loader_native_path_on_downscale(tmp_path):
         "species": ["s"] * n,
     }
     p = str(tmp_path / "big.hdf5")
-    write_split_hdf5(p, {"val_seen": rec})
+    write_split_hdf5(p, {"val_seen": rec}, allow_stub_tokens=True)
     loader = BioscanLoader(p, "val_seen", batch_size=3, eval_parity=False)
     b = next(iter(loader))
     assert loader._use_native
