@@ -265,3 +265,39 @@ def test_topk_host_streamed_matches_bruteforce(use_mesh):
     np.testing.assert_allclose(sims, bsims, atol=1e-5)
     re_sims = np.take_along_axis(q @ ks.T, idx.astype(np.int64), axis=1)
     np.testing.assert_allclose(re_sims, bsims, atol=1e-5)
+
+
+def test_prepared_keys_reuse_and_equivalence():
+    """PreparedKeys: one normalize+upload reused across searches equals the
+    per-call path; streaming PreparedKeys (double-buffered slabs) is exact."""
+    from bioscan_clip_tpu.retrieval.engine import (
+        PreparedKeys,
+        l2norm_np,
+        make_prediction,
+        topk_search,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = rng.standard_normal((3000, 32)).astype(np.float32)
+    qs = rng.standard_normal((40, 32)).astype(np.float32)
+    labels = [
+        {"order": f"o{i%3}", "family": f"f{i%5}", "genus": f"g{i%7}",
+         "species": f"s{i%11}"}
+        for i in range(3000)
+    ]
+
+    ref = make_prediction(qs, keys, labels, max_k=5)
+    pk = PreparedKeys(keys)  # normalizes at construction
+    got = make_prediction(qs, pk, labels, max_k=5)
+    assert got == ref
+    got2 = make_prediction(qs[5:], pk, labels, max_k=5)  # reuse
+    assert got2 == ref[5:]
+
+    # streaming PreparedKeys: exact vs resident
+    kn = l2norm_np(keys)
+    v_ref, i_ref = topk_search(l2norm_np(qs), kn, 5)
+    pk_s = PreparedKeys(keys, max_device_keys=700)  # forces 5 slabs
+    assert pk_s.streaming
+    v, i = topk_search(l2norm_np(qs), pk_s, 5)
+    np.testing.assert_array_equal(i, i_ref)
+    np.testing.assert_allclose(v, v_ref, rtol=1e-5)
