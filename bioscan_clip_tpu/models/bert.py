@@ -22,6 +22,7 @@ TPU-first: `nn.scan` stacked layers, bf16-ready matmuls, fp32 softmax/LN.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import flax.linen as nn
 import jax
@@ -87,17 +88,31 @@ class BertLayer(nn.Module):
             v = v + lora_delta(x, a_v, b_v, self.dtype)
 
         B, N, _ = x.shape
-        use_fused = fused_attention_enabled() and (
-            deterministic or c.attention_dropout == 0
-        )
+        use_fused = fused_attention_enabled()
+        if (
+            not deterministic
+            and c.attention_dropout > 0
+            and os.environ.get("BSCAN_INKERNEL_DROPOUT", "1") == "0"
+        ):
+            # escape hatch: fall back to XLA attention for training if the
+            # in-kernel dropout misbehaves on a given Mosaic version
+            use_fused = False
         if use_fused:
             # Fused Pallas MHA (ops/attention.py): fp32 softmax in VMEM, no
-            # (B, h, N, N) HBM round trip. Attention dropout forces the XLA
-            # path during training (the kernel has no in-kernel RNG yet).
+            # (B, h, N, N) HBM round trip — in eval AND training: attention
+            # dropout runs IN-KERNEL via a counter-based RNG whose mask the
+            # backward recomputes bit-exactly (ops/attention.py mha docs).
             bias2d = None
             if attn_bias is not None:
                 bias2d = attn_bias[:, 0, 0, :]  # (B, N) key-padding bias
-            y = mha(q, k, v, heads=h, bias=bias2d, scale=hd**-0.5)
+            rate = 0.0 if deterministic else float(c.attention_dropout)
+            seed = None
+            if rate > 0:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), dtype=jnp.uint32
+                )
+            y = mha(q, k, v, heads=h, bias=bias2d, scale=hd**-0.5,
+                    dropout_rate=rate, dropout_seed=seed)
         else:
             q = q.reshape(B, N, h, hd)
             k = k.reshape(B, N, h, hd)

@@ -57,12 +57,57 @@ def fused_attention_enabled() -> bool:
     return _on_tpu()
 
 
-def _attend_one_row(q, k, v, bias_row, heads: int, scale: float, o_ref):
+def _mix32(x):
+    """uint32 avalanche mix (murmur3-finalizer family) — identical jnp ops
+    inside the Pallas kernel and in the XLA backward, so the dropout mask
+    recomputes bit-exactly."""
+    x = x.astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def _keep_threshold(rate: float) -> int:
+    """uint32 threshold: u >= thresh keeps the element (P(keep) = 1-rate)."""
+    return min(int(rate * 2.0**32), 2**32 - 1)
+
+
+def dropout_keep_2d(seed, b_idx, head, n: int, rate: float, heads: int):
+    """(N, N) keep/scale mask for attention-probability dropout of one
+    (batch row, head): counter-based, seeded by (seed, b, h, i, j)."""
+    i = jax.lax.broadcasted_iota(jnp.uint32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.uint32, (n, n), 1)
+    b_u = jnp.asarray(b_idx).astype(jnp.uint32)
+    idx = ((b_u * heads + head) * n + i) * n + j  # unique uint32 counter
+    u = _mix32(jnp.asarray(seed).astype(jnp.uint32) ^ _mix32(idx))
+    keep = u >= jnp.uint32(_keep_threshold(rate))
+    return keep.astype(jnp.float32) / jnp.float32(1.0 - rate)
+
+
+def dropout_keep_4d(seed, B: int, heads: int, n: int, rate: float):
+    """(B, heads, N, N) mask — the same per-element formula as
+    dropout_keep_2d, used by the XLA backward recompute."""
+    shape = (B, heads, n, n)
+    b = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    h = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 3)
+    idx = ((b * heads + h) * n + i) * n + j
+    u = _mix32(jnp.asarray(seed).astype(jnp.uint32) ^ _mix32(idx))
+    keep = u >= jnp.uint32(_keep_threshold(rate))
+    return keep.astype(jnp.float32) / jnp.float32(1.0 - rate)
+
+
+def _attend_one_row(q, k, v, bias_row, heads: int, scale: float, o_ref,
+                    drop=None):
     """q/k/v: (N, D) VMEM values; bias_row: (1, N) fp32 or None.
 
     Writes (N, D) into o_ref[0]. Unrolled over heads: each head is a
     (N, hd) @ (hd, N) MXU matmul -> fp32 softmax in VMEM -> (N, N) @ (N, hd).
-    """
+
+    `drop`: optional (rate, seed, batch_idx) — in-kernel attention
+    probability dropout (VMEM mask, never touches HBM; HF Bert training
+    semantics)."""
     n, d = q.shape
     hd = d // heads
     for i in range(heads):
@@ -81,6 +126,9 @@ def _attend_one_row(q, k, v, bias_row, heads: int, scale: float, o_ref):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if drop is not None:
+            rate, seed, b_idx = drop
+            p = p * dropout_keep_2d(seed, b_idx, i, n, rate, heads)
         oh = jnp.dot(
             p.astype(v.dtype), vh, preferred_element_type=jnp.float32
         )
@@ -118,6 +166,23 @@ def _split_bias_kernel(heads, scale, q_ref, k_ref, v_ref, b_ref, o_ref):
     )
 
 
+def _split_drop_kernel(heads, scale, rate, seed_ref, q_ref, k_ref, v_ref,
+                       o_ref):
+    drop = (rate, seed_ref[0], pl.program_id(0))
+    _attend_one_row(
+        q_ref[0], k_ref[0], v_ref[0], None, heads, scale, o_ref, drop=drop
+    )
+
+
+def _split_bias_drop_kernel(heads, scale, rate, seed_ref, q_ref, k_ref,
+                            v_ref, b_ref, o_ref):
+    drop = (rate, seed_ref[0], pl.program_id(0))
+    _attend_one_row(
+        q_ref[0], k_ref[0], v_ref[0], b_ref[0].astype(jnp.float32), heads,
+        scale, o_ref, drop=drop,
+    )
+
+
 def _row_spec(n, d):
     return pl.BlockSpec((1, n, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
@@ -146,14 +211,33 @@ def _pallas_mha_packed(qkv, mask, heads, scale, interpret):
     )(*args)
 
 
-def _pallas_mha_split(q, k, v, bias, heads, scale, interpret):
+def _pallas_mha_split(q, k, v, bias, heads, scale, interpret,
+                      rate: float = 0.0, seed=None):
     b, n, d = q.shape
-    specs = [_row_spec(n, d)] * 3
-    args = [q, k, v]
-    if bias is None:
-        kern = functools.partial(_split_kernel, heads, scale)
+    specs = []
+    args = []
+    if rate > 0:
+        # scalar dropout seed in SMEM, shared by every grid instance
+        specs.append(
+            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
+        )
+        args.append(jnp.asarray(seed, jnp.uint32).reshape(1))
+        kern = (
+            functools.partial(_split_drop_kernel, heads, scale, rate)
+            if bias is None
+            else functools.partial(
+                _split_bias_drop_kernel, heads, scale, rate
+            )
+        )
     else:
-        kern = functools.partial(_split_bias_kernel, heads, scale)
+        kern = (
+            functools.partial(_split_kernel, heads, scale)
+            if bias is None
+            else functools.partial(_split_bias_kernel, heads, scale)
+        )
+    specs += [_row_spec(n, d)] * 3
+    args += [q, k, v]
+    if bias is not None:
         specs.append(
             pl.BlockSpec(
                 (1, 1, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -213,20 +297,27 @@ def _mha_op_fwd(heads, scale, interpret, q, k, v, bias):
     return out, (q, k, v, bias)
 
 
-def _mha_bwd_math(heads, scale, res, g, mask=None):
+def _mha_bwd_math(heads, scale, res, g, mask=None, rate: float = 0.0,
+                  seed=None):
     q, k, v, bias = res
     b, n, d = q.shape
     hd = d // heads
     p = _xla_probs(q, k, bias, heads, scale, mask)  # (B, h, N, N) fp32
+    keep = None
+    if rate > 0:
+        # bit-exact recompute of the kernel's in-VMEM dropout mask
+        keep = dropout_keep_4d(seed, b, heads, n, rate)
+    y = p if keep is None else p * keep  # dropped probabilities
     gh = g.reshape(b, n, heads, hd)
     vh = v.reshape(b, n, heads, hd)
     qh = q.reshape(b, n, heads, hd)
     kh = k.reshape(b, n, heads, hd)
-    pc = p.astype(g.dtype)
-    dv = jnp.einsum("bhnm,bnhd->bmhd", pc, gh)
+    dv = jnp.einsum("bhnm,bnhd->bmhd", y.astype(g.dtype), gh)
     dp = jnp.einsum(
         "bnhd,bmhd->bhnm", gh, vh, preferred_element_type=jnp.float32
-    )
+    )  # dL/dy
+    if keep is not None:
+        dp = dp * keep  # chain through the dropout scaling
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # fp32
     dsc = (ds * scale).astype(g.dtype)
     dq = jnp.einsum("bhnm,bmhd->bnhd", dsc, kh).reshape(b, n, d)
@@ -249,6 +340,31 @@ def _mha_op_bwd(heads, scale, interpret, res, g):
 
 
 _mha_op.defvjp(_mha_op_fwd, _mha_op_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _mha_drop_op(heads, scale, interpret, rate, q, k, v, bias, seed):
+    return _pallas_mha_split(
+        q, k, v, bias, heads, scale, interpret, rate=rate, seed=seed
+    )
+
+
+def _mha_drop_op_fwd(heads, scale, interpret, rate, q, k, v, bias, seed):
+    out = _pallas_mha_split(
+        q, k, v, bias, heads, scale, interpret, rate=rate, seed=seed
+    )
+    return out, (q, k, v, bias, seed)
+
+
+def _mha_drop_op_bwd(heads, scale, interpret, rate, res, g):
+    q, k, v, bias, seed = res
+    dq, dk, dv, dbias = _mha_bwd_math(
+        heads, scale, (q, k, v, bias), g, rate=rate, seed=seed
+    )
+    return (dq, dk, dv, dbias, None)
+
+
+_mha_drop_op.defvjp(_mha_drop_op_fwd, _mha_drop_op_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -275,9 +391,16 @@ _mha_packed_op.defvjp(_mha_packed_op_fwd, _mha_packed_op_bwd)
 
 
 def mha(q, k, v, *, heads: int, bias=None, scale: float | None = None,
-        interpret: bool | None = None):
+        interpret: bool | None = None, dropout_rate: float = 0.0,
+        dropout_seed=None):
     """Fused attention over separate (B, N, D) q/k/v; optional (B, N) additive
     key bias (0 / -1e9 padding mask). Returns (B, N, D) in q.dtype.
+
+    `dropout_rate > 0` + `dropout_seed` (uint32 scalar, e.g.
+    `jax.random.bits(rng)`): attention-probability dropout computed INSIDE
+    the kernel with a counter-based hash RNG — the same mask recomputes
+    bit-exactly in the XLA backward, so training keeps the kernel's
+    zero-HBM-probability-traffic win (HF Bert attention_dropout semantics).
 
     interpret=None auto-selects the Pallas interpreter off-TPU (CPU tests
     with BSCAN_FUSED_ATTENTION=1 run the kernel interpreted)."""
@@ -285,6 +408,13 @@ def mha(q, k, v, *, heads: int, bias=None, scale: float | None = None,
         scale = (q.shape[-1] // heads) ** -0.5
     if interpret is None:
         interpret = not _on_tpu()
+    if dropout_rate > 0:
+        if dropout_seed is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seed")
+        return _mha_drop_op(
+            heads, float(scale), interpret, float(dropout_rate),
+            q, k, v, bias, dropout_seed,
+        )
     return _mha_op(heads, float(scale), interpret, q, k, v, bias)
 
 

@@ -229,3 +229,127 @@ def test_openclip_text_fused_matches_xla_path(monkeypatch):
     monkeypatch.setenv("BSCAN_FUSED_ATTENTION", "1")
     out = model.apply({"params": params}, ids)
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+def _xla_mha_with_mask(q, k, v, bias, heads, scale, keep):
+    """Pure-XLA forward applying an explicit (B, h, N, N) keep mask to the
+    softmax probabilities — oracle for the in-kernel dropout."""
+    from bioscan_clip_tpu.ops.attention import _xla_probs
+
+    b, n, d = q.shape
+    hd = d // heads
+    p = _xla_probs(q, k, bias, heads, scale) * keep
+    vh = v.reshape(b, n, heads, hd)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p.astype(v.dtype), vh,
+                   preferred_element_type=jnp.float32)
+    return o.reshape(b, n, d).astype(q.dtype)
+
+
+def test_inkernel_dropout_forward_matches_masked_xla():
+    """The kernel's in-VMEM dropout == XLA forward with the explicitly
+    materialized dropout_keep_4d mask (same hash RNG)."""
+    from bioscan_clip_tpu.ops.attention import dropout_keep_4d
+
+    rng = np.random.default_rng(1)
+    b, n, heads, hd = 3, 36, 4, 16
+    d = heads * hd
+    q, k, v = (_rand(rng, (b, n, d)) for _ in range(3))
+    seed = jnp.uint32(1234)
+    rate = 0.25
+    out = mha(q, k, v, heads=heads, interpret=True,
+              dropout_rate=rate, dropout_seed=seed)
+    keep = dropout_keep_4d(seed, b, heads, n, rate)
+    ref = _xla_mha_with_mask(q, k, v, None, heads, hd**-0.5, keep)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5
+    )
+    # rate=0 path is byte-identical to the no-dropout op
+    out0 = mha(q, k, v, heads=heads, interpret=True, dropout_rate=0.0)
+    base = mha(q, k, v, heads=heads, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(base))
+
+
+def test_inkernel_dropout_statistics_and_determinism():
+    from bioscan_clip_tpu.ops.attention import dropout_keep_4d
+
+    rate = 0.1
+    keep = np.asarray(dropout_keep_4d(jnp.uint32(7), 4, 12, 64, rate))
+    frac_kept = (keep > 0).mean()
+    assert abs(frac_kept - (1 - rate)) < 0.01
+    # kept elements carry the 1/(1-rate) scale
+    vals = np.unique(keep)
+    assert len(vals) == 2
+    np.testing.assert_allclose(vals, [0.0, 1 / (1 - rate)], rtol=1e-6)
+    # deterministic in the seed, different across seeds
+    keep2 = np.asarray(dropout_keep_4d(jnp.uint32(7), 4, 12, 64, rate))
+    np.testing.assert_array_equal(keep, keep2)
+    keep3 = np.asarray(dropout_keep_4d(jnp.uint32(8), 4, 12, 64, rate))
+    assert (keep != keep3).any()
+
+
+def test_inkernel_dropout_grads_match_masked_xla():
+    """custom_vjp backward (mask recomputed via the hash RNG) == jax.grad
+    of the pure-XLA forward with the same explicit mask."""
+    from bioscan_clip_tpu.ops.attention import dropout_keep_4d
+
+    rng = np.random.default_rng(2)
+    b, n, heads, hd = 2, 24, 4, 8
+    d = heads * hd
+    q, k, v = (_rand(rng, (b, n, d)) for _ in range(3))
+    bias = jnp.where(jnp.arange(n)[None, :] < n - 4, 0.0, NEG_INF).astype(
+        jnp.float32
+    ) * jnp.ones((b, 1))
+    seed = jnp.uint32(99)
+    rate = 0.2
+    scale = hd**-0.5
+    keep = dropout_keep_4d(seed, b, heads, n, rate)
+
+    def loss_kernel(q, k, v):
+        o = mha(q, k, v, heads=heads, bias=bias, interpret=True,
+                dropout_rate=rate, dropout_seed=seed)
+        return jnp.sum(o * o)
+
+    def loss_ref(q, k, v):
+        o = _xla_mha_with_mask(q, k, v, bias, heads, scale, keep)
+        return jnp.sum(o * o)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_bert_training_uses_fused_kernel_with_dropout(monkeypatch):
+    """models/bert.py no longer falls back to XLA attention when training
+    with attention_dropout > 0 (VERDICT r2 item 4): the fused path runs,
+    dropout masks differ across layers/steps, and eval equals the
+    dropout-free kernel output."""
+    from bioscan_clip_tpu.models.bert import BertConfig, BertEncoder
+
+    monkeypatch.setenv("BSCAN_FUSED_ATTENTION", "1")
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                     num_heads=2, intermediate_size=64, lora_rank=0,
+                     hidden_dropout=0.0, attention_dropout=0.3)
+    enc = BertEncoder(cfg, jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 12)))
+    params = enc.init(jax.random.PRNGKey(0), ids, deterministic=True)
+
+    out_eval = enc.apply(params, ids, deterministic=True)
+    out_t1 = enc.apply(params, ids, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    out_t2 = enc.apply(params, ids, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(out_t1), np.asarray(out_eval))
+    assert not np.allclose(np.asarray(out_t1), np.asarray(out_t2))
+    # gradients flow through the training path
+    g = jax.grad(
+        lambda p: jnp.sum(
+            enc.apply(p, ids, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)}) ** 2
+        )
+    )(params)
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g)
+    )
