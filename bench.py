@@ -62,21 +62,27 @@ def _init_flagship(dtype=jnp.bfloat16, remat=False, no_dropout=False):
 
 def main_train(batch: int, steps: int = 8, variant: str = "flat",
                remat: bool = False, no_dropout: bool = False,
-               pre_aug: bool = False, scan: int = 0):
+               pre_aug: bool = False, scan: int = 0,
+               host_crop: bool = False):
     """Full LoRA contrastive train-step throughput (one chip).
 
     `scan=K` runs K full steps per dispatch (make_scan_train_step) —
     amortizes the seconds-scale per-dispatch overhead of the axon tunnel
-    (PERF_NOTES.md round 2); identical per-step semantics."""
+    (PERF_NOTES.md round 2); identical per-step semantics.
+
+    `host_crop` feeds (224, 224, 3) uint8 (the pipeline's tpu.train_crop
+    host RandomResizedCrop output) — ~2x fewer stacked-batch bytes, so K
+    roughly doubles before the HBM ceiling."""
     from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from bioscan_clip_tpu.train.loop import device_batch
 
     model, params = _init_flagship(remat=remat, no_dropout=no_dropout)
     mesh = create_mesh()
     rng = np.random.default_rng(0)
+    img_hw = (224, 224) if host_crop else (256, 384)
     b = {
         "image_u8": jnp.asarray(
-            rng.integers(0, 256, size=(batch, 256, 384, 3)), jnp.uint8
+            rng.integers(0, 256, size=(batch,) + img_hw + (3,)), jnp.uint8
         ),
         "dna": jnp.asarray(rng.integers(0, 1027, size=(batch, 133)), jnp.int32),
         "language": {
@@ -138,6 +144,7 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
             "batch": batch,
             "variant": "scan",
             "remat": remat,
+            "host_crop": host_crop,
             "steps_per_call": scan,
             "step_ms": round(1000 * dur / n_steps, 2),
             "enqueue_ms_per_step": round(1000 * enqueue_s / n_steps, 2),
@@ -305,7 +312,8 @@ if __name__ == "__main__":
         )
         main_train(bi, variant=variant, remat="--remat" in sys.argv,
                    no_dropout="--no-dropout" in sys.argv,
-                   pre_aug="--pre-aug" in sys.argv, scan=scan_k)
+                   pre_aug="--pre-aug" in sys.argv, scan=scan_k,
+                   host_crop="--host-crop" in sys.argv)
     else:
         main(
             int(sys.argv[sys.argv.index("--batch") + 1])
