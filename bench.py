@@ -24,6 +24,13 @@ import sys
 import time
 
 import jax
+
+try:  # persistent XLA compilation cache (tunnel compiles are 20s-30min)
+    from bioscan_clip_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 

@@ -69,7 +69,9 @@ def run(args, max_steps_per_epoch=None, out=print):
         from bioscan_clip_tpu.data.insect import load_insect_dataloader
 
         (train_loader, train_for_key, val_loader, test_seen_loader,
-         test_unseen_loader) = load_insect_dataloader(args)
+         test_unseen_loader) = load_insect_dataloader(
+            args, process_index=proc_idx, process_count=proc_cnt
+        )
         eval_loaders = (train_for_key, val_loader, test_seen_loader,
                         test_unseen_loader)
     else:

@@ -95,6 +95,8 @@ class InsectLoader:
         host_resize_to: int = 256,
         eval_parity: bool = True,
         openclip_norm: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         ins = args.insect_data
         with open(ins.species_to_other) as f:
@@ -124,6 +126,8 @@ class InsectLoader:
         )
         self.eval_parity = eval_parity and not for_training
         self.openclip_norm = openclip_norm
+        self.process_index = process_index
+        self.process_count = process_count
         self.n = len(self.image_ids)
         self._pool = ThreadPoolExecutor(max_workers=decode_threads)
         self._images_h5 = None
@@ -184,19 +188,24 @@ class InsectLoader:
         return self._images_h5
 
     def __len__(self):
+        n = self.n // self.process_count if self.for_training else self.n
         if self.for_training:
-            return self.n // self.batch_size
-        return -(-self.n // self.batch_size)
+            return n // self.batch_size
+        return -(-n // self.batch_size)
 
     def _index_batches(self):
         idx = np.arange(self.n)
         if self.shuffle:
             idx = np.random.default_rng(self.seed + self.epoch).permutation(idx)
+        if self.process_count > 1 and self.for_training:
+            # multi-host: process-strided shard of every epoch permutation
+            # (DistributedSampler semantics — matches data/pipeline.py)
+            idx = idx[self.process_index :: self.process_count]
         bs = self.batch_size
-        n_full = self.n // bs
+        n_full = len(idx) // bs
         for b in range(n_full):
             yield idx[b * bs : (b + 1) * bs]
-        if not self.for_training and n_full * bs < self.n:
+        if not self.for_training and n_full * bs < len(idx):
             yield idx[n_full * bs :]
 
     def _make_batch(self, idx):
@@ -273,13 +282,18 @@ class InsectLoader:
 
 def load_insect_dataloader(
     args, world_size=None, rank=None, num_workers=8, load_all_in_one=False,
-    shuffle_for_train_seen_key=False,
+    shuffle_for_train_seen_key=False, process_index: int = 0,
+    process_count: int = 1,
 ):
     """(train, train_for_key, val, test_seen, test_unseen) or the all-in-one
-    loader (dataset_for_insect_dataset.py:193-267)."""
+    loader (dataset_for_insect_dataset.py:193-267). Multi-host: only the
+    TRAIN loader is process-sharded (eval reads full splits everywhere)."""
     if load_all_in_one:
         return InsectLoader(args, "all")
-    train = InsectLoader(args, "train_loc", for_training=True, shuffle=True)
+    train = InsectLoader(
+        args, "train_loc", for_training=True, shuffle=True,
+        process_index=process_index, process_count=process_count,
+    )
     train_for_key = InsectLoader(
         args, "train_loc", shuffle=shuffle_for_train_seen_key
     )

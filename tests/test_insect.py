@@ -207,3 +207,29 @@ def test_color_jitter():
     assert np.abs(out - np.asarray(imgs)).max() > 0.01
     out2 = np.asarray(color_jitter(imgs, jax.random.PRNGKey(0)))
     np.testing.assert_array_equal(out, out2)
+
+
+def test_insect_train_loader_process_sharding(insect_fixture):
+    """Multi-host: INSECT train loaders shard each epoch permutation by
+    process stride with no overlap (eval loaders stay unsharded)."""
+    from bioscan_clip_tpu.data.insect import InsectLoader
+
+    l0 = InsectLoader(insect_fixture, "train_loc", for_training=True,
+                      shuffle=True, batch_size=4, process_index=0,
+                      process_count=2)
+    l1 = InsectLoader(insect_fixture, "train_loc", for_training=True,
+                      shuffle=True, batch_size=4, process_index=1,
+                      process_count=2)
+    i0 = np.concatenate(list(l0._index_batches()))
+    i1 = np.concatenate(list(l1._index_batches()))
+    assert len(np.intersect1d(i0, i1)) == 0  # disjoint shards
+    assert len(i0) == len(i1)
+    assert len(l0) == len(l1)
+    # batches still materialize end-to-end on the sharded index stream
+    b0 = next(iter(l0))
+    assert b0["labels"].shape[0] == 4
+    # eval loaders are unsharded regardless of process args
+    ev = InsectLoader(insect_fixture, "val_loc", process_index=1,
+                      process_count=2)
+    n_eval = sum(len(b["ids"]) for b in ev)
+    assert n_eval == ev.n
