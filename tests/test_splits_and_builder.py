@@ -108,7 +108,15 @@ def test_hdf5_builder_roundtrip(tmp_path):
     md = pd.DataFrame(rows)
     out_path = str(tmp_path / "built.hdf5")
     lines = []
-    build_hdf5(md, str(img_dir), out_path, out=lines.append)
+    # the builder fails loud without a tokenizer; exercise the native
+    # WordPiece path with a local vocab (data/wordpiece.py)
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "diptera",
+                   "not_classified", "##a", "fam", "gen", "spec"]) + "\n"
+    )
+    build_hdf5(md, str(img_dir), out_path, out=lines.append,
+               vocab_path=str(vocab))
 
     r = SplitReader(out_path, "seen_keys")  # <- 'train' rows
     assert len(r) == 3
