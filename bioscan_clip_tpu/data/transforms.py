@@ -308,11 +308,12 @@ def train_transform(images_u8, rng, size: int = 224, resize_to: int = 256,
     Only the flip/rotation/jitter stages run on device then."""
     k_crop, k_flip, k_rot, k_jit = jax.random.split(rng, 4)
     x = images_u8.astype(jnp.float32) / 255.0
+    # keep the uint8 conversion out of the vmap'd gather kernels downstream
+    # (crop-resize matmuls, rotation's per-sample gather): fusing them makes
+    # XLA:TPU emit a pathological gather (observed 1000x slowdowns; through
+    # the axon tunnel, worker crashes on the pre-cropped path)
+    x = jax.lax.optimization_barrier(x)
     if not pre_cropped:
-        # keep the uint8 conversion out of the vmap'd crop-resize kernel:
-        # fusing them makes XLA:TPU emit a pathologically slow gather
-        # (observed 1000x)
-        x = jax.lax.optimization_barrier(x)
         x = resize_shorter_side(x, resize_to)
         x = random_resized_crop(x, k_crop, size)
     if normalize:

@@ -7,6 +7,11 @@ fast, disambiguates 'Mosaic kernel fault' from HBM ceilings.
 
 ONE TPU process at a time: run only when nothing else holds the chip.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
