@@ -226,9 +226,7 @@ class BioscanLoader:
                 )
             )
         if self.with_image and self.train_crop and "image" not in batch:
-            from bioscan_clip_tpu.data.transforms import (
-                host_random_resized_crop,
-            )
+            from bioscan_clip_tpu.data.transforms import host_train_augment
 
             bufs = self.reader.read_images_bytes(idx)
             imgs = list(self._pool.map(_decode_jpeg, bufs))
@@ -240,7 +238,7 @@ class BioscanLoader:
             batch["image_u8"] = np.stack(
                 list(
                     self._pool.map(
-                        lambda t: host_random_resized_crop(
+                        lambda t: host_train_augment(
                             t[0], t[1], size=self.train_crop_size,
                             resize_to=self.host_resize_to,
                         ),

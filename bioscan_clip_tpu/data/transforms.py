@@ -301,25 +301,30 @@ def train_transform(images_u8, rng, size: int = 224, resize_to: int = 256,
     the INSECT train transform's extra last stage
     (dataset_for_insect_dataset.py:116-118).
 
-    `pre_cropped=True`: the loader already did Resize+RandomResizedCrop on
-    host (data/pipeline.py train_crop path, (size, size, 3) uint8 input) —
-    halves the uint8 batch bytes resident on device (the stacked-batch
-    memory ceiling of the K-steps-per-dispatch scan, PERF_NOTES.md round 2).
-    Only the flip/rotation/jitter stages run on device then."""
+    `pre_cropped=True`: the loader already did the FULL geometric train
+    augmentation on host (data/pipeline.py train_crop path,
+    `host_train_augment`: Resize -> RandomResizedCrop -> flips -> rotation,
+    matching the reference's CPU-worker transform) and ships (size, size, 3)
+    uint8 — half the bytes of the shorter-side-256 frame (the stacked-batch
+    memory ceiling of the K-steps-per-dispatch scan) and ONLY elementwise
+    ops remain on device (cast, normalize, jitter). Geometric device ops on
+    a raw scan-sliced uint8 cast produced TPU worker crashes through the
+    axon runtime (PERF_NOTES round 3), and host aug is the reference's own
+    data path, so this split is both the robust and the faithful one."""
     k_crop, k_flip, k_rot, k_jit = jax.random.split(rng, 4)
     x = images_u8.astype(jnp.float32) / 255.0
-    # keep the uint8 conversion out of the vmap'd gather kernels downstream
-    # (crop-resize matmuls, rotation's per-sample gather): fusing them makes
-    # XLA:TPU emit a pathological gather (observed 1000x slowdowns; through
-    # the axon tunnel, worker crashes on the pre-cropped path)
-    x = jax.lax.optimization_barrier(x)
     if not pre_cropped:
+        # keep the uint8 conversion out of the vmap'd gather kernels
+        # downstream (crop-resize matmuls, rotation's per-sample gather):
+        # fusing them makes XLA:TPU emit a pathological gather
+        x = jax.lax.optimization_barrier(x)
         x = resize_shorter_side(x, resize_to)
         x = random_resized_crop(x, k_crop, size)
     if normalize:
         x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
-    x = random_flips(x, k_flip)
-    x = random_rotation(x, k_rot)
+    if not pre_cropped:
+        x = random_flips(x, k_flip)
+        x = random_rotation(x, k_rot)
     if jitter:
         x = color_jitter(x, k_jit)
     return x
@@ -378,6 +383,40 @@ def host_random_resized_crop(
         i, j = (H - ch) // 2, (W - cw) // 2
     crop = img[i : i + ch, j : j + cw]
     out = cv2.resize(crop, (size, size), interpolation=cv2.INTER_LINEAR)
+    return np.ascontiguousarray(out, dtype=np.uint8)
+
+
+def host_rotate_nearest(img: "np.ndarray", angle_deg: float):
+    """torchvision RandomRotation step on host: NEAREST interpolation,
+    expand=False, zero fill, rotation about the center."""
+    import cv2
+
+    h, w = img.shape[:2]
+    m = cv2.getRotationMatrix2D(((w - 1) / 2.0, (h - 1) / 2.0), angle_deg, 1.0)
+    return cv2.warpAffine(
+        img, m, (w, h), flags=cv2.INTER_NEAREST,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+    )
+
+
+def host_train_augment(
+    img: "np.ndarray", rng, size: int = 224, resize_to: int = 256,
+    degrees: float = 45.0,
+):
+    """Full geometric train augmentation on host — the reference's
+    CPU-worker transform (dataset.py:153-168: Resize(256) ->
+    RandomResizedCrop(224) -> HFlip -> VFlip -> RandomRotation(±45,
+    NEAREST)). Returns (size, size, 3) uint8; the device then only casts /
+    normalizes / jitters (train_transform pre_cropped path)."""
+    import numpy as np
+
+    out = host_random_resized_crop(img, rng, size=size, resize_to=resize_to)
+    if rng.random() < 0.5:
+        out = out[:, ::-1]
+    if rng.random() < 0.5:
+        out = out[::-1]
+    angle = float(rng.uniform(-degrees, degrees))
+    out = host_rotate_nearest(np.ascontiguousarray(out), angle)
     return np.ascontiguousarray(out, dtype=np.uint8)
 
 

@@ -191,3 +191,45 @@ def test_device_resize_close_to_host_parity_resize():
     )[0]
     host = T.host_antialias_resize(img, 256, 384)
     assert np.abs(dev - host).mean() < 2e-3
+
+
+def test_host_train_augment_full_pipeline():
+    """host_train_augment: RRC + flips + NEAREST rotation on host, uint8
+    out; deterministic per rng; zero-angle rotation is identity."""
+    import numpy as np
+
+    from bioscan_clip_tpu.data.transforms import (
+        host_rotate_nearest,
+        host_train_augment,
+    )
+
+    img = np.random.default_rng(0).integers(
+        0, 256, size=(300, 400, 3)).astype(np.uint8)
+    a = host_train_augment(img, np.random.default_rng(5))
+    b = host_train_augment(img, np.random.default_rng(5))
+    c = host_train_augment(img, np.random.default_rng(6))
+    assert a.shape == (224, 224, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    # zero rotation = identity
+    np.testing.assert_array_equal(host_rotate_nearest(img, 0.0), img)
+    # 90-degree-ish rotation moves pixels and zero-fills corners
+    r = host_rotate_nearest(img[:224, :224], 45.0)
+    assert r[0, 0].tolist() == [0, 0, 0]
+
+
+def test_train_transform_pre_cropped_elementwise_only():
+    """pre_cropped path: device does only cast/normalize/jitter — output
+    equals input/255 exactly (no flips/rotation on device)."""
+    import numpy as np
+
+    from bioscan_clip_tpu.data.transforms import train_transform
+
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (2, 224, 224, 3)),
+        jnp.uint8,
+    )
+    out = train_transform(x, jax.random.PRNGKey(0), pre_cropped=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(x, np.float32) / 255.0, atol=1e-7
+    )
