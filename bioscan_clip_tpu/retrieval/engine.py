@@ -190,6 +190,54 @@ class PreparedKeys:
             self.keys_dev = jnp.asarray(ks_p)
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_searcher(mesh, n_keys: int, shard_pad: int, k_eff: int,
+                      key_chunk: int, use_pallas: bool, precision: str,
+                      _interpret: bool):
+    """Jitted shard_map searcher for the multi-device resident-keys path:
+    per-device local top-k (Pallas kernel or XLA scan) + all-gathered exact
+    global merge. Cached so repeated query chunks / sweep combinations reuse
+    one compiled program per static config."""
+    from jax import shard_map
+
+    def local(qq, kk):
+        dev = jax.lax.axis_index(DATA_AXIS)
+        # per-shard validity: global indices [dev*shard_pad, ...)
+        n_local_valid = jnp.clip(n_keys - dev * shard_pad, 0, shard_pad)
+        if use_pallas:
+            # the fused MXU kernel is the per-shard local search
+            # (the 2.7x win applies on every device of the mesh)
+            from bioscan_clip_tpu.ops.topk_pallas import pallas_topk
+
+            vals, idxs = pallas_topk(
+                qq, kk, n_local_valid, k=k_eff, tile=PALLAS_TILE,
+                q_block=min(Q_BLOCK, qq.shape[0]),
+                interpret=_interpret, precision=precision,
+            )
+        else:
+            vals, idxs = _topk_scan(
+                qq, kk, n_local_valid, k_eff, key_chunk,
+                axis_name=DATA_AXIS, precision=precision,
+            )
+        idxs = idxs + dev * shard_pad
+        vals_g = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        idxs_g = jax.lax.all_gather(idxs, DATA_AXIS, axis=1, tiled=True)
+        best, sel = jax.lax.top_k(vals_g, k_eff)
+        return best, jnp.take_along_axis(idxs_g, sel, axis=1)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None)),
+            out_specs=(P(), P()),
+            # outputs are identical on all devices after the gathered
+            # top-k merge, but that replication isn't statically provable
+            check_vma=False,
+        )
+    )
+
+
 def _search_prepared(q, pk: PreparedKeys, k_eff: int, query_chunk: int,
                      _interpret: bool):
     """Top-k of q against a device-resident PreparedKeys."""
@@ -224,50 +272,13 @@ def _search_prepared(q, pk: PreparedKeys, k_eff: int, query_chunk: int,
 
     shard_pad = pk.shard_pad
     if n_dev > 1:
-        from jax import shard_map
-
-        mesh = pk.mesh
-
-        def search(qd, kd):
-            def local(qq, kk):
-                dev = jax.lax.axis_index(DATA_AXIS)
-                # per-shard validity: global indices [dev*shard_pad, ...)
-                n_local_valid = jnp.clip(
-                    n_keys - dev * shard_pad, 0, shard_pad
-                )
-                if use_pallas:
-                    # the fused MXU kernel is the per-shard local search
-                    # (the 2.7x win applies on every device of the mesh)
-                    from bioscan_clip_tpu.ops.topk_pallas import pallas_topk
-
-                    vals, idxs = pallas_topk(
-                        qq, kk, n_local_valid, k=k_eff, tile=PALLAS_TILE,
-                        q_block=min(Q_BLOCK, qq.shape[0]),
-                        interpret=_interpret, precision=precision,
-                    )
-                else:
-                    vals, idxs = _topk_scan(
-                        qq, kk, n_local_valid, k_eff, key_chunk,
-                        axis_name=DATA_AXIS, precision=precision,
-                    )
-                idxs = idxs + dev * shard_pad
-                vals_g = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
-                idxs_g = jax.lax.all_gather(idxs, DATA_AXIS, axis=1, tiled=True)
-                best, sel = jax.lax.top_k(vals_g, k_eff)
-                return best, jnp.take_along_axis(idxs_g, sel, axis=1)
-
-            return jax.jit(
-                shard_map(
-                    local,
-                    mesh=mesh,
-                    in_specs=(P(), P(DATA_AXIS, None)),
-                    out_specs=(P(), P()),
-                    # outputs are identical on all devices after the gathered
-                    # top-k merge, but that replication isn't statically
-                    # provable
-                    check_vma=False,
-                )
-            )(qd, kd)
+        # built (and jitted) ONCE per static config via the lru_cache below —
+        # a fresh jit(shard_map(...)) per query chunk would retrace and
+        # recompile on every chunk of every sweep combination
+        search = _sharded_searcher(
+            pk.mesh, n_keys, shard_pad, k_eff, key_chunk, use_pallas,
+            precision, _interpret,
+        )
     else:
 
         def search(qd, kd):
