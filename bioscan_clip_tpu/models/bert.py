@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from bioscan_clip_tpu.models.common import ln_dtype
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
 from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha
 
@@ -135,7 +136,7 @@ class BertLayer(nn.Module):
         y = nn.Dense(d, dtype=self.dtype, name="attn_out")(y)
         if c.hidden_dropout > 0:
             y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=c.ln_eps, name="attn_ln", dtype=jnp.float32)(
+        x = nn.LayerNorm(epsilon=c.ln_eps, name="attn_ln", dtype=ln_dtype())(
             x + y
         ).astype(self.dtype)
 
@@ -144,7 +145,7 @@ class BertLayer(nn.Module):
         y = nn.Dense(d, dtype=self.dtype, name="out")(y)
         if c.hidden_dropout > 0:
             y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=c.ln_eps, name="out_ln", dtype=jnp.float32)(
+        x = nn.LayerNorm(epsilon=c.ln_eps, name="out_ln", dtype=ln_dtype())(
             x + y
         ).astype(self.dtype)
         return (x, attn_bias), None
@@ -182,7 +183,7 @@ class BertEncoder(nn.Module):
             dtype=self.dtype,
         )(token_type_ids)
         x = word + pos + typ
-        x = nn.LayerNorm(epsilon=c.ln_eps, name="emb_ln", dtype=jnp.float32)(
+        x = nn.LayerNorm(epsilon=c.ln_eps, name="emb_ln", dtype=ln_dtype())(
             x
         ).astype(self.dtype)
         if c.hidden_dropout > 0:

@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from bioscan_clip_tpu.models.common import ln_dtype
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
 from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha_packed
 
@@ -66,7 +67,7 @@ class ViTBlock(nn.Module):
         h = c.num_heads
         hd = d // h
 
-        y = nn.LayerNorm(epsilon=c.ln_eps, name="norm1", dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=c.ln_eps, name="norm1", dtype=ln_dtype())(x)
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(y)
         if c.lora_rank > 0:
             a_q = self.param("lora_q_a", lora_a_init, (d, c.lora_rank))
@@ -98,7 +99,7 @@ class ViTBlock(nn.Module):
         y = nn.Dense(d, dtype=self.dtype, name="proj")(y)
         x = x + y
 
-        y = nn.LayerNorm(epsilon=c.ln_eps, name="norm2", dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=c.ln_eps, name="norm2", dtype=ln_dtype())(x)
         y = nn.Dense(c.mlp_ratio * d, dtype=self.dtype, name="fc1")(y)
         # timm uses exact (erf) GELU; jax.nn.gelu defaults to tanh approx.
         y = jax.nn.gelu(y, approximate=False)
@@ -162,7 +163,7 @@ class ViT(nn.Module):
         )(c, self.dtype, name="blocks")
         x, _ = block(x, deterministic)
 
-        x = nn.LayerNorm(epsilon=c.ln_eps, name="norm", dtype=jnp.float32)(x)
+        x = nn.LayerNorm(epsilon=c.ln_eps, name="norm", dtype=ln_dtype())(x)
         if return_tokens:
             return x
         x = x[:, 0]  # CLS pooling (timm 'token' pool for this model)
