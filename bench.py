@@ -48,10 +48,12 @@ BATCH = 256
 STEPS = 20
 
 
-def _init_flagship(dtype=jnp.bfloat16, remat=False, no_dropout=False):
+def _init_flagship(dtype=jnp.bfloat16, remat=False, no_dropout=False,
+                   remat_policy="full"):
     from __graft_entry__ import _flagship_model
 
-    model = _flagship_model(dtype=dtype, remat=remat, no_dropout=no_dropout)
+    model = _flagship_model(dtype=dtype, remat=remat, no_dropout=no_dropout,
+                            remat_policy=remat_policy)
     with jax.default_device(jax.devices("cpu")[0]):
         params = model.init(
             jax.random.PRNGKey(0),
@@ -70,7 +72,7 @@ def _init_flagship(dtype=jnp.bfloat16, remat=False, no_dropout=False):
 def main_train(batch: int, steps: int = 8, variant: str = "flat",
                remat: bool = False, no_dropout: bool = False,
                pre_aug: bool = False, scan: int = 0,
-               host_crop: bool = False):
+               host_crop: bool = False, remat_policy: str = "full"):
     """Full LoRA contrastive train-step throughput (one chip).
 
     `scan=K` runs K full steps per dispatch (make_scan_train_step) —
@@ -83,7 +85,8 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
     from bioscan_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from bioscan_clip_tpu.train.loop import device_batch
 
-    model, params = _init_flagship(remat=remat, no_dropout=no_dropout)
+    model, params = _init_flagship(remat=remat, no_dropout=no_dropout,
+                                   remat_policy=remat_policy)
     mesh = create_mesh()
     rng = np.random.default_rng(0)
     img_hw = (224, 224) if host_crop else (256, 384)
@@ -151,6 +154,7 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
             "batch": batch,
             "variant": "scan",
             "remat": remat,
+            "remat_policy": remat_policy,
             "host_crop": host_crop,
             "steps_per_call": scan,
             "step_ms": round(1000 * dur / n_steps, 2),
@@ -317,10 +321,16 @@ if __name__ == "__main__":
             if "--scan" in sys.argv
             else 0
         )
-        main_train(bi, variant=variant, remat="--remat" in sys.argv,
+        rp = (
+            sys.argv[sys.argv.index("--remat-policy") + 1]
+            if "--remat-policy" in sys.argv
+            else "full"
+        )
+        main_train(bi, variant=variant,
+                   remat="--remat" in sys.argv or rp != "full",
                    no_dropout="--no-dropout" in sys.argv,
                    pre_aug="--pre-aug" in sys.argv, scan=scan_k,
-                   host_crop="--host-crop" in sys.argv)
+                   host_crop="--host-crop" in sys.argv, remat_policy=rp)
     else:
         main(
             int(sys.argv[sys.argv.index("--batch") + 1])

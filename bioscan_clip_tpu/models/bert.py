@@ -28,7 +28,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from bioscan_clip_tpu.models.common import ln_dtype
+from jax.ad_checkpoint import checkpoint_name
+
+from bioscan_clip_tpu.models.common import ln_dtype, remat_policy
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
 from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha
 
@@ -50,6 +52,8 @@ class BertConfig:
     ln_eps: float = 1e-12
     # Per-layer remat inside the nn.scan (see ViTConfig.remat).
     remat: bool = False
+    # Remat save-policy: "full" | "dots" | "narrow" (common.py:remat_policy).
+    remat_policy: str = "full"
 
 
 BARCODE_BERT_CONFIG = BertConfig(vocab_size=1027)
@@ -112,8 +116,11 @@ class BertLayer(nn.Module):
                 seed = jax.random.bits(
                     self.make_rng("dropout"), dtype=jnp.uint32
                 )
-            y = mha(q, k, v, heads=h, bias=bias2d, scale=hd**-0.5,
-                    dropout_rate=rate, dropout_seed=seed)
+            y = checkpoint_name(
+                mha(q, k, v, heads=h, bias=bias2d, scale=hd**-0.5,
+                    dropout_rate=rate, dropout_seed=seed),
+                "attn_ctx",
+            )
         else:
             q = q.reshape(B, N, h, hd)
             k = k.reshape(B, N, h, hd)
@@ -141,6 +148,7 @@ class BertLayer(nn.Module):
         ).astype(self.dtype)
 
         y = nn.Dense(c.intermediate_size, dtype=self.dtype, name="inter")(x)
+        y = checkpoint_name(y, "mlp_pre")
         y = jax.nn.gelu(y, approximate=False)  # HF 'gelu' is exact erf
         y = nn.Dense(d, dtype=self.dtype, name="out")(y)
         if c.hidden_dropout > 0:
@@ -198,7 +206,10 @@ class BertEncoder(nn.Module):
         layer_cls = BertLayer
         if c.remat:
             layer_cls = nn.remat(
-                BertLayer, prevent_cse=False, static_argnums=(2,)
+                BertLayer,
+                prevent_cse=False,
+                static_argnums=(2,),
+                policy=remat_policy(c.remat_policy),
             )
         layer = nn.scan(
             layer_cls,

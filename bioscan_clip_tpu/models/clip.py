@@ -93,7 +93,11 @@ def load_clip_model(args, dtype=jnp.bfloat16):
 
     `tpu.remat: true` in the config enables per-layer rematerialization in
     every transformer tower (see ViTConfig.remat) — same params/grads,
-    O(layers) less activation HBM in the train step.
+    O(layers) less activation HBM in the train step. `tpu.remat_policy`
+    picks what the remat saves: full | dots | narrow
+    (models/common.py:remat_policy; "dots" keeps MXU outputs and
+    recomputes only elementwise work — near-no-remat speed at a
+    fraction of the memory).
     """
     mc = args.model_config
     disable_lora = bool(getattr(mc, "disable_lora", False))
@@ -101,6 +105,7 @@ def load_clip_model(args, dtype=jnp.bfloat16):
     output_dim = mc.output_dim
     tpu_cfg = getattr(args, "tpu", None)
     remat = bool(tpu_cfg.get("remat", False)) if tpu_cfg else False
+    rp = str(tpu_cfg.get("remat_policy", "full")) if tpu_cfg else "full"
 
     image_encoder = None
     dna_encoder = None
@@ -123,20 +128,20 @@ def load_clip_model(args, dtype=jnp.bfloat16):
         image_encoder = OpenClipImageTower(
             dataclasses.replace(
                 OpenClipVisionConfig(), lora_rank=rank, output_dim=output_dim,
-                remat=remat,
+                remat=remat, remat_policy=rp,
             ),
             dtype=dtype,
         )
         language_encoder = OpenClipTextAdapter(
             dataclasses.replace(
                 OpenClipTextConfig(), lora_rank=rank, output_dim=output_dim,
-                remat=remat,
+                remat=remat, remat_policy=rp,
             ),
             dtype=dtype,
         )
         if hasattr(mc, "dna"):
             dna_encoder = BarcodeBertDnaEncoder(
-                dataclasses.replace(BARCODE_BERT_CONFIG, lora_rank=rank, remat=remat),
+                dataclasses.replace(BARCODE_BERT_CONFIG, lora_rank=rank, remat=remat, remat_policy=rp),
                 output_dim=output_dim,
                 dtype=dtype,
             )
@@ -149,7 +154,7 @@ def load_clip_model(args, dtype=jnp.bfloat16):
     if hasattr(mc, "image"):
         if mc.image.input_type == "image":
             image_encoder = ViT(
-                ViTConfig(num_classes=output_dim, lora_rank=rank, remat=remat),
+                ViTConfig(num_classes=output_dim, lora_rank=rank, remat=remat, remat_policy=rp),
                 dtype=dtype,
             )
         else:
@@ -161,7 +166,7 @@ def load_clip_model(args, dtype=jnp.bfloat16):
     if hasattr(mc, "language"):
         if mc.language.input_type == "sequence":
             language_encoder = BertTextEncoder(
-                dataclasses.replace(BERT_SMALL_CONFIG, lora_rank=rank, remat=remat),
+                dataclasses.replace(BERT_SMALL_CONFIG, lora_rank=rank, remat=remat, remat_policy=rp),
                 output_dim=output_dim,
                 dtype=dtype,
             )
@@ -176,7 +181,7 @@ def load_clip_model(args, dtype=jnp.bfloat16):
             dna_encoder = IdentityEncoder()
         elif mc.dna.input_type == "sequence":
             dna_encoder = BarcodeBertDnaEncoder(
-                dataclasses.replace(BARCODE_BERT_CONFIG, lora_rank=rank, remat=remat),
+                dataclasses.replace(BARCODE_BERT_CONFIG, lora_rank=rank, remat=remat, remat_policy=rp),
                 output_dim=output_dim,
                 dtype=dtype,
             )

@@ -22,3 +22,43 @@ def ln_dtype():
         if os.environ.get("BSCAN_FAST_LN", "0") == "1"
         else jnp.float32
     )
+
+
+def remat_policy(name: str):
+    """Per-layer remat save-policy for the towers (ViTConfig/BertConfig
+    `remat_policy`). Gradations between "recompute the whole block"
+    (cheapest memory, ~+1 forward of extra MXU work per step) and
+    "save everything" (round-2 measurement: OOMs the 16 GB chip by ~6.5 G
+    at B=128 with K-step scan):
+
+    - "full":   save only the inter-layer residual stream; recompute the
+                entire block in the backward (jax.checkpoint default).
+    - "dots":   save every weight-matmul output (qkv/proj/fc1/fc2 — the
+                `dots_with_no_batch_dims_saveable` policy) plus the tagged
+                fused-attention context; the backward recomputes only
+                VPU-bound elementwise work (LN/GELU/softmax). Attention is
+                ~N/(6*hidden) of block FLOPs (≈4% at N=197), so this
+                removes nearly all of remat's recompute cost for
+                ~+350 MB/layer at B=128 (ViT-B).
+    - "narrow": save only the tagged attention context and pre-GELU MLP
+                activation (`save_only_these_names`); the backward
+                re-runs the qkv/proj matmuls but not fc1, and GELU/LN get
+                their saved inputs. ~+195 MB/layer at B=128 (ViT-B) —
+                the middle tier if "dots" doesn't fit.
+    """
+    import jax
+
+    if name in (None, "", "full"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("attn_ctx"),
+        )
+    if name == "narrow":
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_ctx", "mlp_pre"
+        )
+    raise ValueError(
+        f"unknown remat_policy {name!r}: expected full | dots | narrow"
+    )

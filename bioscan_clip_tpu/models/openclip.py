@@ -25,7 +25,9 @@ import dataclasses
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
+from bioscan_clip_tpu.models.common import remat_policy
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
 from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha_packed
 
@@ -42,6 +44,7 @@ class OpenClipVisionConfig:
     ln_eps: float = 1e-5
     # Per-layer remat inside the nn.scan (see ViTConfig.remat).
     remat: bool = False
+    remat_policy: str = "full"  # full | dots | narrow (common.remat_policy)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +59,7 @@ class OpenClipTextConfig:
     ln_eps: float = 1e-5
     # Per-layer remat inside the nn.scan (see ViTConfig.remat).
     remat: bool = False
+    remat_policy: str = "full"  # full | dots | narrow (common.remat_policy)
 
 
 class OpenClipBlock(nn.Module):
@@ -94,7 +98,9 @@ class OpenClipBlock(nn.Module):
             # Fused Pallas MHA with the (N, N) causal mask applied in-kernel
             # (ops/attention.py); scores never touch HBM.
             m2 = None if mask is None else mask.reshape(mask.shape[-2:])
-            y = mha_packed(qkv, heads=h, scale=hd**-0.5, mask=m2)
+            y = checkpoint_name(
+                mha_packed(qkv, heads=h, scale=hd**-0.5, mask=m2), "attn_ctx"
+            )
         else:
             qkv = qkv.reshape(B, N, 3, h, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -111,17 +117,21 @@ class OpenClipBlock(nn.Module):
         y = nn.LayerNorm(epsilon=self.ln_eps, name="ln_2",
                          dtype=jnp.float32)(x).astype(self.dtype)
         y = nn.Dense(4 * d, dtype=self.dtype, name="c_fc")(y)
+        y = checkpoint_name(y, "mlp_pre")
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dense(d, dtype=self.dtype, name="c_proj")(y)
         return (x + y, mask), None
 
 
 def _scan_blocks(cfg_width, cfg_heads, lora_rank, ln_eps, layers, dtype,
-                 name="resblocks", remat=False):
+                 name="resblocks", remat=False, policy="full"):
     block_cls = OpenClipBlock
     if remat:
         block_cls = nn.remat(
-            OpenClipBlock, prevent_cse=False, static_argnums=(2,)
+            OpenClipBlock,
+            prevent_cse=False,
+            static_argnums=(2,),
+            policy=remat_policy(policy),
         )
     return nn.scan(
         block_cls,
@@ -163,6 +173,7 @@ class OpenClipImageTower(nn.Module):
         (x, _), _ = _scan_blocks(
             c.width, c.heads, c.lora_rank, c.ln_eps, c.layers, self.dtype,
             remat=c.remat,
+            policy=c.remat_policy,
         )((x, None), deterministic)
         x = nn.LayerNorm(epsilon=c.ln_eps, name="ln_post",
                          dtype=jnp.float32)(x[:, 0])
@@ -196,6 +207,7 @@ class OpenClipTextTower(nn.Module):
         (x, _), _ = _scan_blocks(
             c.width, c.heads, c.lora_rank, c.ln_eps, c.layers, self.dtype,
             remat=c.remat,
+            policy=c.remat_policy,
         )((x, causal), deterministic)
         x = nn.LayerNorm(epsilon=c.ln_eps, name="ln_final",
                          dtype=jnp.float32)(x)

@@ -25,7 +25,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from bioscan_clip_tpu.models.common import ln_dtype
+from jax.ad_checkpoint import checkpoint_name
+
+from bioscan_clip_tpu.models.common import ln_dtype, remat_policy
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
 from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha_packed
 
@@ -48,6 +50,10 @@ class ViTConfig:
     # O(layers x tokens x hidden) at ~+1/3 forward FLOPs. Identical param
     # tree, dropout masks, and gradients (tests/test_remat.py).
     remat: bool = False
+    # What the per-layer remat saves: "full" | "dots" | "narrow"
+    # (models/common.py:remat_policy). "dots" keeps matmul outputs and
+    # recomputes only elementwise work in the backward.
+    remat_policy: str = "full"
 
     @property
     def num_patches(self) -> int:
@@ -84,7 +90,9 @@ class ViTBlock(nn.Module):
         if fused_attention_enabled():
             # Fused Pallas MHA: QK^T -> fp32 softmax -> AV entirely in VMEM;
             # the (B, h, N, N) scores never touch HBM (ops/attention.py).
-            y = mha_packed(qkv, heads=h, scale=hd**-0.5)
+            y = checkpoint_name(
+                mha_packed(qkv, heads=h, scale=hd**-0.5), "attn_ctx"
+            )
         else:
             qkv = qkv.reshape(B, N, 3, h, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -101,6 +109,7 @@ class ViTBlock(nn.Module):
 
         y = nn.LayerNorm(epsilon=c.ln_eps, name="norm2", dtype=ln_dtype())(x)
         y = nn.Dense(c.mlp_ratio * d, dtype=self.dtype, name="fc1")(y)
+        y = checkpoint_name(y, "mlp_pre")
         # timm uses exact (erf) GELU; jax.nn.gelu defaults to tanh approx.
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dense(d, dtype=self.dtype, name="fc2")(y)
@@ -152,7 +161,10 @@ class ViT(nn.Module):
             # prevent_cse=False is safe (and required for efficiency) under
             # scan; static_argnums marks `deterministic` (self, x, det).
             block_cls = nn.remat(
-                ViTBlock, prevent_cse=False, static_argnums=(2,)
+                ViTBlock,
+                prevent_cse=False,
+                static_argnums=(2,),
+                policy=remat_policy(c.remat_policy),
             )
         block = nn.scan(
             block_cls,

@@ -24,14 +24,17 @@ def tree_max_diff(a, b):
     )
 
 
+@pytest.mark.parametrize("policy", ["full", "dots", "narrow"])
 @pytest.mark.parametrize("tower", ["vit", "bert"])
-def test_remat_identical_params_forward_grads(tower):
+def test_remat_identical_params_forward_grads(tower, policy):
     if tower == "vit":
         cfg = ViTConfig(
             image_size=32, patch_size=16, hidden_size=32, num_layers=2,
             num_heads=4, num_classes=16, lora_rank=2, dropout=0.1,
         )
-        make = lambda r: ViT(dataclasses.replace(cfg, remat=r))
+        make = lambda r: ViT(
+            dataclasses.replace(cfg, remat=r, remat_policy=policy)
+        )
         x = jnp.asarray(
             np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
             jnp.float32,
@@ -45,7 +48,8 @@ def test_remat_identical_params_forward_grads(tower):
             intermediate_size=64, lora_rank=2,
         )
         make = lambda r: BertTextEncoder(
-            dataclasses.replace(cfg, remat=r), output_dim=16
+            dataclasses.replace(cfg, remat=r, remat_policy=policy),
+            output_dim=16,
         )
         ids = jnp.asarray(
             np.random.default_rng(1).integers(0, 64, size=(2, 10)), jnp.int32
