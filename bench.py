@@ -20,6 +20,7 @@ vs_baseline = measured / 1350.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -123,15 +124,33 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
         from bioscan_clip_tpu.train.state import create_train_state
 
         state = create_train_state(model, params, lambda s: 1e-3)
-        kstep = make_scan_train_step(model, mesh, steps_per_call=scan)
-        stacked = shard_stacked_batches(
-            jax.tree.map(
-                lambda x: jnp.broadcast_to(x[None], (scan,) + x.shape),
-                device_batch(b),
-            ),
-            mesh,
+        same_batch = "--same-batch" in sys.argv
+        kstep = make_scan_train_step(
+            model, mesh, steps_per_call=scan, same_batch=same_batch
         )
-        key = jax.random.PRNGKey(7)
+        if same_batch:
+            # One resident B-sized batch scanned K times (xs=None closure):
+            # identical per-step compute/optimizer work, but the K-scaled
+            # (K, B, ...) input stack — and with it the HBM ceiling on K and
+            # the tunnel's footprint-scaled per-dispatch overhead — is gone.
+            # Measures the train step proper; the stacked variant measures
+            # step + input feed.
+            stacked = sharded
+        else:
+            stacked = shard_stacked_batches(
+                jax.tree.map(
+                    lambda x: jnp.broadcast_to(x[None], (scan,) + x.shape),
+                    device_batch(b),
+                ),
+                mesh,
+            )
+        # --rbg: typed key with the TPU-native RBG PRNG — every split/
+        # fold_in downstream (aug + dropout) inherits the impl
+        key = (
+            jax.random.key(7, impl="rbg")
+            if "--rbg" in sys.argv
+            else jax.random.PRNGKey(7)
+        )
         t0 = time.perf_counter()
         state, losses = kstep(state, stacked, key)
         float(losses[-1])
@@ -156,6 +175,10 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
             "remat": remat,
             "remat_policy": remat_policy,
             "host_crop": host_crop,
+            "rbg": "--rbg" in sys.argv,
+            "fast_ln": os.environ.get("BSCAN_FAST_LN", "0") == "1",
+            "no_dropout": no_dropout,
+            "same_batch": same_batch,
             "steps_per_call": scan,
             "step_ms": round(1000 * dur / n_steps, 2),
             "enqueue_ms_per_step": round(1000 * enqueue_s / n_steps, 2),

@@ -151,6 +151,7 @@ def make_scan_train_step(
     model, mesh, steps_per_call: int, logit_scale: float = LOGIT_SCALE,
     openclip_norm: bool = False, remat: bool = False,
     disable_lora: bool = False, color_jitter: bool = False,
+    same_batch: bool = False,
 ):
     """K full train steps per dispatch via `lax.scan` — the TPU-native
     answer to per-dispatch overhead (host round-trips, executable dispatch;
@@ -164,6 +165,14 @@ def make_scan_train_step(
     same `fold_in(rng, state.step)` (tests/test_train_step.py parity test).
     Returns (state, losses[K]) so per-step logging cadence is preserved
     (reference train_epoch.py:58-59).
+
+    `same_batch=True`: the input is ONE (B, ...) batch scanned K times
+    (xs=None; the batch is a loop constant). Per-step compute/optimizer
+    semantics are unchanged — only the data repeats — so this is for
+    synthetic benchmarking/burn-in where the (K, B, ...) stack's HBM
+    footprint (and, through the axon tunnel, its footprint-scaled dispatch
+    overhead) must be excluded. The dropout/aug stream still advances via
+    `fold_in(rng, state.step)`.
     """
     from bioscan_clip_tpu.data.transforms import (
         train_transform_auto as train_transform,
@@ -238,6 +247,11 @@ def make_scan_train_step(
             grads = grads_to_full_tree(g, state.params)
             return state.apply_gradients(grads), loss
 
+        if same_batch:
+            return jax.lax.scan(
+                lambda s, _: body(s, batches), state, None,
+                length=steps_per_call,
+            )
         return jax.lax.scan(body, state, batches, length=steps_per_call)
 
     return train_steps

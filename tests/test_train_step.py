@@ -192,6 +192,45 @@ def test_scan_train_step_matches_sequential():
         )
 
 
+def test_scan_train_step_same_batch():
+    """same_batch=True scans K steps over ONE (B, ...) batch closure ==
+    scanning a K-stacked repeat of that batch (identical per-step
+    semantics, no (K, B, ...) input)."""
+    from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
+    from bioscan_clip_tpu.train.loop import (
+        make_scan_train_step,
+        stack_batches,
+    )
+
+    model = _tiny_model()
+    mesh = create_mesh()
+    K = 3
+    b = _batch(16, seed=0)
+    rng = jax.random.PRNGKey(5)
+
+    state_a = _init_state(model)
+    scan_step = make_scan_train_step(model, mesh, steps_per_call=K)
+    stacked = shard_stacked_batches(stack_batches([b] * K), mesh)
+    state_a, losses_a = scan_step(state_a, stacked, rng)
+
+    state_b = _init_state(model)
+    same_step = make_scan_train_step(
+        model, mesh, steps_per_call=K, same_batch=True
+    )
+    state_b, losses_b = same_step(state_b, shard_batch(b, mesh), rng)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_a), np.asarray(losses_b), rtol=1e-5
+    )
+    assert int(state_b.step) == K
+    for x, y in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6
+        )
+
+
 def test_train_epoch_scan_matches_sequential():
     """train_epoch with steps_per_call=2 over 3 batches (one 2-chunk + one
     tail) == plain sequential train_epoch: same final params, same per-step

@@ -1,0 +1,174 @@
+"""Attribute on-chip train-step time per op category from a profiler trace.
+
+The chained-carry wall numbers (bench.py --train) bundle the tunnel's fixed
+per-dispatch overhead with real device time; this tool captures a
+`jax.profiler` trace of ONE small K-step dispatch and aggregates the device
+plane's event durations by op category (matmul/conv vs elementwise vs
+reduce vs copy), so we can see where the ~365 ms/step actually goes.
+
+    python tools/trace_train_step.py [--batch 128] [--scan 8] \
+        [--remat-policy dots] [--host-crop]
+
+Prints one JSON line: total device time per category + top-20 ops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_dispatch(batch, scan, remat_policy, host_crop, trace_dir):
+    from bench import _init_flagship
+    from bioscan_clip_tpu.parallel.mesh import (
+        create_mesh,
+        shard_stacked_batches,
+    )
+    from bioscan_clip_tpu.train.loop import device_batch, make_scan_train_step
+    from bioscan_clip_tpu.train.state import create_train_state
+
+    model, params = _init_flagship(remat=True, remat_policy=remat_policy)
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    img_hw = (224, 224) if host_crop else (256, 384)
+    b = {
+        "image_u8": jnp.asarray(
+            rng.integers(0, 256, size=(batch,) + img_hw + (3,)), jnp.uint8
+        ),
+        "dna": jnp.asarray(rng.integers(0, 1027, size=(batch, 133)), jnp.int32),
+        "language": {
+            "input_ids": jnp.asarray(
+                rng.integers(0, 30522, size=(batch, 20)), jnp.int32
+            ),
+            "token_type_ids": jnp.zeros((batch, 20), jnp.int32),
+            "attention_mask": jnp.ones((batch, 20), jnp.int32),
+        },
+        "labels": jnp.arange(batch, dtype=jnp.int32),
+    }
+    state = create_train_state(model, params, lambda s: 1e-3)
+    kstep = make_scan_train_step(model, mesh, steps_per_call=scan)
+    stacked = shard_stacked_batches(
+        jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (scan,) + x.shape),
+            device_batch(b),
+        ),
+        mesh,
+    )
+    key = jax.random.PRNGKey(7)
+    state, losses = kstep(state, stacked, key)
+    float(losses[-1])  # compile + warm outside the trace
+
+    jax.profiler.start_trace(trace_dir)
+    state, losses = kstep(state, stacked, key)
+    float(losses[-1])
+    jax.profiler.stop_trace()
+
+
+CATEGORIES = (
+    ("matmul", ("dot", "conv", "fusion.*dot")),
+    ("copy", ("copy", "transpose", "reshape", "bitcast")),
+    ("rng", ("rng", "threefry", "philox", "iota_rbg")),
+    ("reduce", ("reduce", "sort", "top-k", "topk")),
+)
+
+
+def categorize(name):
+    low = name.lower()
+    for cat, keys in CATEGORIES:
+        for k in keys:
+            if k.split(".*")[0] in low:
+                return cat
+    return "other"
+
+
+def aggregate(trace_dir):
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        return None
+    data = jax.profiler.ProfileData.from_file(paths[0])
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    device_total = 0.0
+    # Prefer true device planes ("/device:TPU:0"); fall back to XLA-runtime
+    # lines on the host plane (CPU backend: 'tf_XLAPjRtCpuClient/...').
+    planes = list(data.planes)
+    dev_planes = [p for p in planes
+                  if "TPU" in p.name or "/device:" in p.name]
+    for plane in dev_planes or planes:
+        for line in plane.lines:
+            lname = line.name or ""
+            if lname.startswith("python") or lname.lower().startswith(
+                    "framework"):
+                continue  # python-callstack line, not XLA ops
+            for ev in line.events:
+                if ev.name.startswith(("$", "end:", "PjitFunction",
+                                       "Thread", "Python")):
+                    continue
+                dur_ms = ev.duration_ns / 1e6
+                per_op[ev.name] += dur_ms
+                per_cat[categorize(ev.name)] += dur_ms
+                device_total += dur_ms
+    return {
+        "device_total_ms": round(device_total, 2),
+        "per_category_ms": {
+            k: round(v, 2) for k, v in per_cat.most_common()
+        },
+        "top_ops_ms": {
+            k[:100]: round(v, 2) for k, v in per_op.most_common(20)
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--scan", type=int, default=8)
+    ap.add_argument("--remat-policy", default="dots")
+    ap.add_argument("--host-crop", action="store_true")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the trace dir for Perfetto inspection")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to CPU (safe while a TPU client is live; the "
+                    "ambient sitecustomize ignores JAX_PLATFORMS env)")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    trace_dir = tempfile.mkdtemp(prefix="bscan_trace_")
+    run_dispatch(args.batch, args.scan, args.remat_policy, args.host_crop,
+                 trace_dir)
+    agg = aggregate(trace_dir)
+    out = {
+        "batch": args.batch,
+        "scan": args.scan,
+        "remat_policy": args.remat_policy,
+        "host_crop": args.host_crop,
+        "trace_dir": trace_dir if args.keep else None,
+        "agg": agg,
+    }
+    if agg:
+        out["per_step_device_ms"] = round(
+            agg["device_total_ms"] / args.scan, 2
+        )
+    print(json.dumps(out))
+    if not args.keep:
+        import shutil
+
+        shutil.rmtree(trace_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
