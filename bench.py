@@ -123,11 +123,26 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
         )
         from bioscan_clip_tpu.train.state import create_train_state
 
-        state = create_train_state(model, params, lambda s: 1e-3)
         same_batch = "--same-batch" in sys.argv
-        kstep = make_scan_train_step(
-            model, mesh, steps_per_call=scan, same_batch=same_batch
-        )
+        flat_scan = "--flat-scan" in sys.argv
+        if flat_scan:
+            # tiny donated carry (flat LoRA vector + AdamW state); the
+            # frozen tree is a cached standing arg — through the tunnel
+            # this removes the ~19 s/call donated-state round trip
+            from bioscan_clip_tpu.train.flat_state import (
+                create_flat_train_state,
+                make_flat_scan_train_step,
+            )
+
+            state = create_flat_train_state(params, lambda s: 1e-3)
+            kstep = make_flat_scan_train_step(
+                model, mesh, steps_per_call=scan, same_batch=same_batch
+            )
+        else:
+            state = create_train_state(model, params, lambda s: 1e-3)
+            kstep = make_scan_train_step(
+                model, mesh, steps_per_call=scan, same_batch=same_batch
+            )
         if same_batch:
             # One resident B-sized batch scanned K times (xs=None closure):
             # identical per-step compute/optimizer work, but the K-scaled
@@ -179,6 +194,7 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
             "fast_ln": os.environ.get("BSCAN_FAST_LN", "0") == "1",
             "no_dropout": no_dropout,
             "same_batch": same_batch,
+            "flat_scan": flat_scan,
             "steps_per_call": scan,
             "step_ms": round(1000 * dur / n_steps, 2),
             "enqueue_ms_per_step": round(1000 * enqueue_s / n_steps, 2),

@@ -183,6 +183,194 @@ def _split_bias_drop_kernel(heads, scale, rate, seed_ref, q_ref, k_ref,
     )
 
 
+def _attend_bwd_one_row(q, k, v, g, bias_row, mask2d, heads: int,
+                        scale: float, dq_ref, dk_ref, dv_ref, drop=None,
+                        db_acc=None):
+    """Backward of `_attend_one_row` for one batch instance, entirely in
+    VMEM: recomputes the fp32 softmax per head (flash-style — the (h, N, N)
+    probabilities never touch HBM in either direction) and emits
+    dq/dk/dv (N, D). Math mirrors `_mha_bwd_math` exactly, including the
+    bit-exact counter-hash dropout mask recompute.
+
+    Returns the (1, N) fp32 dbias accumulator (sum of ds over heads and
+    query rows) when `db_acc` is not None."""
+    n, d = q.shape
+    hd = d // heads
+    for i in range(heads):
+        lo = i * hd
+        qh = q[:, lo : lo + hd]
+        kh = k[:, lo : lo + hd]
+        vh = v[:, lo : lo + hd]
+        gh = g[:, lo : lo + hd]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias_row is not None:
+            s = s + bias_row
+        if mask2d is not None:
+            s = s + mask2d
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # (N, N) fp32
+        keep = None
+        if drop is not None:
+            rate, seed, b_idx = drop
+            keep = dropout_keep_2d(seed, b_idx, i, n, rate, heads)
+        y = p if keep is None else p * keep
+        # dv_h = y^T @ g_h
+        dvh = jax.lax.dot_general(
+            y.astype(gh.dtype), gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dp = g_h @ v_h^T  (dL/dy)
+        dp = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if keep is not None:
+            dp = dp * keep
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsc = (ds * scale).astype(q.dtype)
+        dqh = jnp.dot(dsc, kh, preferred_element_type=jnp.float32)
+        dkh = jax.lax.dot_general(
+            dsc, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, lo : lo + hd] = dqh.astype(dq_ref.dtype)
+        dk_ref[0, :, lo : lo + hd] = dkh.astype(dk_ref.dtype)
+        dv_ref[0, :, lo : lo + hd] = dvh.astype(dv_ref.dtype)
+        if db_acc is not None:
+            db_acc = db_acc + jnp.sum(ds, axis=0, keepdims=True)
+    return db_acc
+
+
+def _bwd_kernel(heads, scale, rate, has_bias, has_mask, packed, *refs):
+    """Shared Pallas backward kernel body; ref order:
+    [seed?] q|qkv, k?, v?, [bias?|mask?], g, then outputs
+    dq|dqkv, dk?, dv?, [dbias?]."""
+    refs = list(refs)
+    seed = refs.pop(0)[0] if rate > 0 else None
+    if packed:
+        qkv = refs.pop(0)[0]
+        d = qkv.shape[-1] // 3
+        q, k, v = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
+    else:
+        q = refs.pop(0)[0]
+        k = refs.pop(0)[0]
+        v = refs.pop(0)[0]
+    bias_row = refs.pop(0)[0].astype(jnp.float32) if has_bias else None
+    mask2d = refs.pop(0)[:].astype(jnp.float32) if has_mask else None
+    g = refs.pop(0)[0]
+    if packed:
+        dqkv_ref = refs.pop(0)
+        d = g.shape[-1]
+        dq_ref = dqkv_ref.at[:, :, :d]
+        dk_ref = dqkv_ref.at[:, :, d : 2 * d]
+        dv_ref = dqkv_ref.at[:, :, 2 * d :]
+    else:
+        dq_ref = refs.pop(0)
+        dk_ref = refs.pop(0)
+        dv_ref = refs.pop(0)
+    db_ref = refs.pop(0) if has_bias else None
+    drop = (rate, seed, pl.program_id(0)) if rate > 0 else None
+    db = _attend_bwd_one_row(
+        q, k, v, g, bias_row, mask2d, heads, scale,
+        dq_ref, dk_ref, dv_ref, drop=drop,
+        db_acc=(jnp.zeros((1, g.shape[0]), jnp.float32)
+                if has_bias else None),
+    )
+    if db_ref is not None:
+        db_ref[0] = db.astype(db_ref.dtype)
+
+
+def _pallas_mha_bwd(q, k, v, g, bias, mask, heads, scale, interpret,
+                    rate: float = 0.0, seed=None, packed_qkv=None):
+    """Pallas backward dispatch. Either (q, k, v) or `packed_qkv` is set.
+    Returns (dq, dk, dv, dbias), or the (B, N, 3D) dqkv when packed."""
+    packed = packed_qkv is not None
+    if packed:
+        b, n, d3 = packed_qkv.shape
+        d = d3 // 3
+    else:
+        b, n, d = q.shape
+    specs, args = [], []
+    if rate > 0:
+        specs.append(
+            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
+        )
+        args.append(jnp.asarray(seed, jnp.uint32).reshape(1))
+    if packed:
+        specs.append(_row_spec(n, d3))
+        args.append(packed_qkv)
+    else:
+        specs += [_row_spec(n, d)] * 3
+        args += [q, k, v]
+    has_bias = bias is not None
+    has_mask = mask is not None
+    if has_bias:
+        specs.append(
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias[:, None, :])
+    if has_mask:
+        specs.append(
+            pl.BlockSpec((n, n), lambda b: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(mask)
+    specs.append(_row_spec(n, d))
+    args.append(g)
+    ref_dtype = packed_qkv.dtype if packed else q.dtype
+    if packed:
+        out_specs = [_row_spec(n, d3)]
+        out_shapes = [jax.ShapeDtypeStruct((b, n, d3), ref_dtype)]
+    else:
+        out_specs = [_row_spec(n, d)] * 3
+        out_shapes = [jax.ShapeDtypeStruct((b, n, d), ref_dtype)] * 3
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((b, 1, n), jnp.float32))
+    kern = functools.partial(
+        _bwd_kernel, heads, scale, rate, has_bias, has_mask, packed
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+    if packed:
+        return outs[0]  # (B, N, 3D) dqkv, already in fused layout
+    dq, dk, dv = outs[:3]
+    dbias = None
+    if has_bias:
+        dbias = outs[-1][:, 0, :].astype(bias.dtype)
+    return dq, dk, dv, dbias
+
+
+def pallas_bwd_enabled() -> bool:
+    """Opt-in (`BSCAN_PALLAS_MHA_BWD=1`): replace the XLA-math backward
+    with an in-kernel flash-style backward (fp32 probabilities recomputed
+    per (batch, head) in VMEM, never materialized in HBM).
+
+    Default OFF: measured on a v5e at flagship shapes
+    (tools/smoke_mha_bwd_tpu.py, B=32 N=197), the Pallas backward runs
+    ~13x SLOWER than the XLA math it replaces (34.2 ms vs 2.5 ms) — the
+    batch-grid x unrolled-head structure that wins the forward (2 matmuls
+    per head, HBM-probability traffic avoided) loses backward, where each
+    head needs 6 small matmuls, half in transposed orientation, and the
+    avoided HBM traffic is small next to the extra MXU underutilization.
+    Kept as a tested, numerically-exact alternative for backends where
+    probability HBM traffic dominates (long N)."""
+    return os.environ.get("BSCAN_PALLAS_MHA_BWD", "0") == "1"
+
+
 def _row_spec(n, d):
     return pl.BlockSpec((1, n, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
@@ -336,6 +524,11 @@ def _mha_bwd_math(heads, scale, res, g, mask=None, rate: float = 0.0,
 
 
 def _mha_op_bwd(heads, scale, interpret, res, g):
+    if pallas_bwd_enabled():
+        q, k, v, bias = res
+        return _pallas_mha_bwd(
+            q, k, v, g, bias, None, heads, scale, interpret
+        )
     return _mha_bwd_math(heads, scale, res, g)
 
 
@@ -358,9 +551,15 @@ def _mha_drop_op_fwd(heads, scale, interpret, rate, q, k, v, bias, seed):
 
 def _mha_drop_op_bwd(heads, scale, interpret, rate, res, g):
     q, k, v, bias, seed = res
-    dq, dk, dv, dbias = _mha_bwd_math(
-        heads, scale, (q, k, v, bias), g, rate=rate, seed=seed
-    )
+    if pallas_bwd_enabled():
+        dq, dk, dv, dbias = _pallas_mha_bwd(
+            q, k, v, g, bias, None, heads, scale, interpret,
+            rate=rate, seed=seed,
+        )
+    else:
+        dq, dk, dv, dbias = _mha_bwd_math(
+            heads, scale, (q, k, v, bias), g, rate=rate, seed=seed
+        )
     return (dq, dk, dv, dbias, None)
 
 
@@ -378,6 +577,12 @@ def _mha_packed_op_fwd(heads, scale, interpret, qkv, mask):
 
 def _mha_packed_op_bwd(heads, scale, interpret, res, g):
     qkv, mask = res
+    if pallas_bwd_enabled():
+        dqkv = _pallas_mha_bwd(
+            None, None, None, g, None, mask, heads, scale, interpret,
+            packed_qkv=qkv,
+        )
+        return (dqkv, None)
     d = qkv.shape[-1] // 3
     dq, dk, dv, _ = _mha_bwd_math(
         heads, scale,

@@ -207,3 +207,116 @@ def make_flat_train_step(model, mesh, logit_scale=None,
         )
 
     return train_step
+
+
+def make_flat_scan_train_step(model, mesh, steps_per_call: int,
+                              logit_scale=None, openclip_norm: bool = False,
+                              remat: bool = False, same_batch: bool = False):
+    """K flat train steps per dispatch via `lax.scan`.
+
+    The scan carry is ONLY the mutable O(trainable) leaves — the flat
+    parameter vector, its AdamW state, and the step counter (a few MB for
+    LoRA training) — and only those are donated. The ~750 MB frozen
+    parameter tree rides as a standing non-donated argument, uploaded once
+    and cached device-side across calls. Through the axon tunnel this is
+    the difference between a ~19 s per-dispatch state round-trip
+    (make_scan_train_step's donated full TrainState) and a near-free
+    dispatch (PERF_NOTES round 3); on a normal host it also avoids K-step
+    carry traffic on the frozen tree.
+
+    Per-step semantics match make_flat_train_step exactly (same
+    fold_in(rng, step) dropout/aug streams); `same_batch=True` scans one
+    (B, ...) closure batch as in make_scan_train_step.
+    """
+    import functools
+
+    from bioscan_clip_tpu.data.transforms import train_transform
+    from bioscan_clip_tpu.losses.contrastive import (
+        multimodal_contrastive_loss,
+    )
+    from bioscan_clip_tpu.parallel.mesh import replicated
+
+    if logit_scale is None:
+        logit_scale = 1.0 / 0.07
+
+    wrap = jax.checkpoint if remat else (lambda f: f)
+    towers = {}
+    for name, method in (
+        ("image", model.encode_image),
+        ("dna", model.encode_dna),
+        ("language", model.encode_language),
+    ):
+        if getattr(model, f"{name}_encoder") is not None:
+            towers[name] = wrap(
+                functools.partial(
+                    lambda p, x, r, _m: model.apply(
+                        {"params": p}, x, deterministic=False,
+                        rngs={"dropout": r}, method=_m,
+                    ),
+                    _m=method,
+                )
+            )
+
+    def _steps(flat, opt_state, step_count, frozen_params, batches, rng,
+               tx, spec):
+        def body(carry, batch):
+            flat, opt_state, step_count = carry
+            dropout_rng = jax.random.fold_in(rng, step_count)
+            aug_rng, r_img, r_dna, r_txt = jax.random.split(dropout_rng, 4)
+            image = batch.get("image")
+            if image is None and "image_u8" in batch:
+                image = train_transform(
+                    batch["image_u8"], aug_rng, normalize=openclip_norm
+                )
+            inputs = {
+                "image": (image, r_img),
+                "dna": (batch.get("dna"), r_dna),
+                "language": (batch.get("language"), r_txt),
+            }
+
+            def loss_f(f):
+                params = spec.unflatten_into(frozen_params, f)
+                embs = {
+                    n: (t(params, *inputs[n])
+                        if inputs[n][0] is not None else None)
+                    for n, t in towers.items()
+                }
+                return multimodal_contrastive_loss(
+                    embs, batch["labels"], logit_scale
+                )
+
+            loss, g = jax.value_and_grad(loss_f)(flat)
+            updates, new_opt = tx.update(g, opt_state, flat)
+            new_flat = optax.apply_updates(flat, updates)
+            return (new_flat, new_opt, step_count + 1), loss
+
+        carry = (flat, opt_state, step_count)
+        if same_batch:
+            carry, losses = jax.lax.scan(
+                lambda c, _: body(c, batches), carry, None,
+                length=steps_per_call,
+            )
+        else:
+            carry, losses = jax.lax.scan(
+                body, carry, batches, length=steps_per_call
+            )
+        return carry + (losses,)
+
+    jitted = jax.jit(
+        _steps,
+        static_argnames=("tx", "spec"),
+        donate_argnums=(0, 1, 2),
+        out_shardings=replicated(mesh),
+    )
+
+    def train_steps(state, batches, rng):
+        new_flat, new_opt, new_step, losses = jitted(
+            state.flat, state.opt_state, state.step, state.frozen_params,
+            batches, rng, tx=state.tx, spec=state.spec,
+        )
+        return (
+            state.replace(flat=new_flat, opt_state=new_opt, step=new_step),
+            losses,
+        )
+
+    return train_steps

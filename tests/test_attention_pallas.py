@@ -95,6 +95,42 @@ def test_custom_vjp_matches_xla_grads():
         np.testing.assert_allclose(a, b_, atol=1e-4, rtol=1e-4)
 
 
+def test_pallas_bwd_matches_math_bwd(monkeypatch):
+    """The in-kernel (flash-style) backward == the XLA-math backward for
+    every variant: split, split+bias, split+bias+dropout. Toggled via the
+    BSCAN_PALLAS_MHA_BWD escape hatch."""
+    rng = np.random.default_rng(11)
+    b, n, heads, hd = 2, 29, 4, 16
+    d = heads * hd
+    q, k, v = (_rand(rng, (b, n, d)) for _ in range(3))
+    g = _rand(rng, (b, n, d))
+    lengths = np.array([29, 13])
+    bias = jnp.asarray(
+        np.where(np.arange(n)[None, :] < lengths[:, None], 0.0, NEG_INF),
+        jnp.float32,
+    )
+
+    def grads(**mha_kw):
+        def loss(q, k, v):
+            return jnp.sum(mha(q, k, v, heads=heads, interpret=True,
+                               **mha_kw) * g)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    for kw in (
+        {},
+        {"bias": bias},
+        {"bias": bias, "dropout_rate": 0.25,
+         "dropout_seed": jnp.uint32(99)},
+    ):
+        monkeypatch.setenv("BSCAN_PALLAS_MHA_BWD", "1")
+        g_pallas = grads(**kw)
+        monkeypatch.setenv("BSCAN_PALLAS_MHA_BWD", "0")
+        g_math = grads(**kw)
+        for a, b_ in zip(g_pallas, g_math):
+            np.testing.assert_allclose(a, b_, atol=1e-4, rtol=1e-4)
+
+
 def test_packed_vjp_matches_xla_grads():
     rng = np.random.default_rng(5)
     b, n, heads, hd = 2, 17, 4, 16

@@ -56,6 +56,57 @@ def test_flat_matches_tree_step():
     )
 
 
+def test_flat_scan_matches_sequential():
+    """K scanned flat steps == K sequential make_flat_train_step calls
+    (same fold_in dropout streams), for both the stacked and the
+    same_batch input forms."""
+    from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
+    from bioscan_clip_tpu.train.flat_state import make_flat_scan_train_step
+    from bioscan_clip_tpu.train.loop import stack_batches
+
+    model = _tiny_model()
+    mesh = create_mesh()
+    K = 3
+    rng = jax.random.PRNGKey(5)
+    params = _init_state(model).params
+
+    b0 = _batch(16, seed=0)
+    batches = [b0] * K
+
+    s_seq = create_flat_train_state(params, lambda s: 1e-3)
+    step = make_flat_train_step(model, mesh, remat=False)
+    seq_losses = []
+    for b in batches:
+        s_seq, loss = step(s_seq, shard_batch(b, mesh), rng)
+        seq_losses.append(float(loss))
+
+    s_scan = create_flat_train_state(params, lambda s: 1e-3)
+    kstep = make_flat_scan_train_step(model, mesh, steps_per_call=K)
+    stacked = shard_stacked_batches(stack_batches(batches), mesh)
+    s_scan, losses = kstep(s_scan, stacked, rng)
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(seq_losses), rtol=1e-5
+    )
+    assert int(s_scan.step) == K
+    np.testing.assert_allclose(
+        np.asarray(s_seq.flat), np.asarray(s_scan.flat), rtol=2e-5,
+        atol=2e-6,
+    )
+
+    s_same = create_flat_train_state(params, lambda s: 1e-3)
+    same_step = make_flat_scan_train_step(
+        model, mesh, steps_per_call=K, same_batch=True
+    )
+    s_same, losses_same = same_step(s_same, shard_batch(b0, mesh), rng)
+    np.testing.assert_allclose(
+        np.asarray(losses_same), np.asarray(seq_losses), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_seq.flat), np.asarray(s_same.flat), rtol=2e-5,
+        atol=2e-6,
+    )
+
+
 def test_flat_descends_multi_device():
     model = _tiny_model()
     mesh = create_mesh()

@@ -99,35 +99,48 @@ def aggregate(trace_dir):
     if not paths:
         return None
     data = jax.profiler.ProfileData.from_file(paths[0])
-    per_op = collections.Counter()
-    per_cat = collections.Counter()
-    device_total = 0.0
-    # Prefer true device planes ("/device:TPU:0"); fall back to XLA-runtime
-    # lines on the host plane (CPU backend: 'tf_XLAPjRtCpuClient/...').
+    # Per-(plane, line) totals first: device traces nest (XLA Modules line
+    # holds the jit + while spans, XLA Ops the leaf ops) and summing across
+    # lines double-counts. Aggregate op categories ONLY from the flat leaf
+    # line — the one whose events' summed duration best matches its span
+    # without nesting ("XLA Ops" on TPU, the PjRt client line on CPU).
     planes = list(data.planes)
     dev_planes = [p for p in planes
                   if "TPU" in p.name or "/device:" in p.name]
+    line_totals = {}
+    best = None  # (score, events) for the leaf-op line
     for plane in dev_planes or planes:
         for line in plane.lines:
             lname = line.name or ""
-            if lname.startswith("python") or lname.lower().startswith(
-                    "framework"):
-                continue  # python-callstack line, not XLA ops
-            for ev in line.events:
-                if ev.name.startswith(("$", "end:", "PjitFunction",
-                                       "Thread", "Python")):
-                    continue
-                dur_ms = ev.duration_ns / 1e6
-                per_op[ev.name] += dur_ms
-                per_cat[categorize(ev.name)] += dur_ms
-                device_total += dur_ms
+            if lname.startswith("python"):
+                continue
+            evs = [(ev.name, ev.duration_ns / 1e6) for ev in line.events
+                   if not ev.name.startswith(("$", "end:", "PjitFunction",
+                                              "Thread", "Python"))]
+            if not evs:
+                continue
+            total = sum(d for _, d in evs)
+            line_totals[f"{plane.name} :: {lname}"] = round(total, 2)
+            is_leaf = ("ops" in lname.lower()
+                       or "client" in lname.lower())
+            score = (1 if is_leaf else 0, len(evs))
+            if best is None or score > best[0]:
+                best = (score, evs)
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    leaf_total = 0.0
+    for name, dur_ms in (best[1] if best else []):
+        per_op[name] += dur_ms
+        per_cat[categorize(name)] += dur_ms
+        leaf_total += dur_ms
     return {
-        "device_total_ms": round(device_total, 2),
+        "leaf_total_ms": round(leaf_total, 2),
+        "line_totals_ms": line_totals,
         "per_category_ms": {
             k: round(v, 2) for k, v in per_cat.most_common()
         },
         "top_ops_ms": {
-            k[:100]: round(v, 2) for k, v in per_op.most_common(20)
+            k[:100]: round(v, 2) for k, v in per_op.most_common(25)
         },
     }
 
@@ -160,8 +173,8 @@ def main():
         "agg": agg,
     }
     if agg:
-        out["per_step_device_ms"] = round(
-            agg["device_total_ms"] / args.scan, 2
+        out["per_step_leaf_ms"] = round(
+            agg["leaf_total_ms"] / args.scan, 2
         )
     print(json.dumps(out))
     if not args.keep:
