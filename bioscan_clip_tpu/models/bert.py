@@ -143,9 +143,12 @@ class BertLayer(nn.Module):
         y = nn.Dense(d, dtype=self.dtype, name="attn_out")(y)
         if c.hidden_dropout > 0:
             y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=c.ln_eps, name="attn_ln", dtype=ln_dtype())(
-            x + y
-        ).astype(self.dtype)
+        x = checkpoint_name(
+            nn.LayerNorm(epsilon=c.ln_eps, name="attn_ln", dtype=ln_dtype())(
+                x + y
+            ).astype(self.dtype),
+            "ln_out",
+        )
 
         y = nn.Dense(c.intermediate_size, dtype=self.dtype, name="inter")(x)
         y = checkpoint_name(y, "mlp_pre")
@@ -153,9 +156,12 @@ class BertLayer(nn.Module):
         y = nn.Dense(d, dtype=self.dtype, name="out")(y)
         if c.hidden_dropout > 0:
             y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=c.ln_eps, name="out_ln", dtype=ln_dtype())(
-            x + y
-        ).astype(self.dtype)
+        x = checkpoint_name(
+            nn.LayerNorm(epsilon=c.ln_eps, name="out_ln", dtype=ln_dtype())(
+                x + y
+            ).astype(self.dtype),
+            "ln_out",
+        )
         return (x, attn_bias), None
 
 

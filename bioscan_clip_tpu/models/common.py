@@ -45,6 +45,12 @@ def remat_policy(name: str):
                 re-runs the qkv/proj matmuls but not fc1, and GELU/LN get
                 their saved inputs. ~+195 MB/layer at B=128 (ViT-B) —
                 the middle tier if "dots" doesn't fit.
+    - "wide":   "dots" plus the tagged LayerNorm outputs — the backward
+                recomputes nothing but GELU/softmax. LN backward fusions
+                measured ~65 ms/step of the flagship's 340 ms at B=128
+                (PERF_NOTES round 3); costs ~+39 MB per LN at B=128
+                (ViT-B), affordable once same_batch frees the stacked
+                input's HBM.
     """
     import jax
 
@@ -59,6 +65,14 @@ def remat_policy(name: str):
         return jax.checkpoint_policies.save_only_these_names(
             "attn_ctx", "mlp_pre"
         )
+    if name == "wide":
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names(
+                "attn_ctx", "ln_out"
+            ),
+        )
     raise ValueError(
-        f"unknown remat_policy {name!r}: expected full | dots | narrow"
+        f"unknown remat_policy {name!r}: expected full | dots | narrow "
+        "| wide"
     )

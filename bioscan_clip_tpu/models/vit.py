@@ -73,7 +73,10 @@ class ViTBlock(nn.Module):
         h = c.num_heads
         hd = d // h
 
-        y = nn.LayerNorm(epsilon=c.ln_eps, name="norm1", dtype=ln_dtype())(x)
+        y = checkpoint_name(
+            nn.LayerNorm(epsilon=c.ln_eps, name="norm1", dtype=ln_dtype())(x),
+            "ln_out",
+        )
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(y)
         if c.lora_rank > 0:
             a_q = self.param("lora_q_a", lora_a_init, (d, c.lora_rank))
@@ -107,7 +110,10 @@ class ViTBlock(nn.Module):
         y = nn.Dense(d, dtype=self.dtype, name="proj")(y)
         x = x + y
 
-        y = nn.LayerNorm(epsilon=c.ln_eps, name="norm2", dtype=ln_dtype())(x)
+        y = checkpoint_name(
+            nn.LayerNorm(epsilon=c.ln_eps, name="norm2", dtype=ln_dtype())(x),
+            "ln_out",
+        )
         y = nn.Dense(c.mlp_ratio * d, dtype=self.dtype, name="fc1")(y)
         y = checkpoint_name(y, "mlp_pre")
         # timm uses exact (erf) GELU; jax.nn.gelu defaults to tanh approx.

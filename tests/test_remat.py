@@ -24,7 +24,7 @@ def tree_max_diff(a, b):
     )
 
 
-@pytest.mark.parametrize("policy", ["full", "dots", "narrow"])
+@pytest.mark.parametrize("policy", ["full", "dots", "narrow", "wide"])
 @pytest.mark.parametrize("tower", ["vit", "bert"])
 def test_remat_identical_params_forward_grads(tower, policy):
     if tower == "vit":

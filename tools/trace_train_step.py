@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_dispatch(batch, scan, remat_policy, host_crop, trace_dir):
+def run_dispatch(batch, scan, remat_policy, host_crop, trace_dir,
+                 rbg=False):
     from bench import _init_flagship
     from bioscan_clip_tpu.parallel.mesh import (
         create_mesh,
@@ -65,7 +66,8 @@ def run_dispatch(batch, scan, remat_policy, host_crop, trace_dir):
         ),
         mesh,
     )
-    key = jax.random.PRNGKey(7)
+    key = (jax.random.key(7, impl="rbg") if rbg
+           else jax.random.PRNGKey(7))
     state, losses = kstep(state, stacked, key)
     float(losses[-1])  # compile + warm outside the trace
 
@@ -151,6 +153,7 @@ def main():
     ap.add_argument("--scan", type=int, default=8)
     ap.add_argument("--remat-policy", default="dots")
     ap.add_argument("--host-crop", action="store_true")
+    ap.add_argument("--rbg", action="store_true")
     ap.add_argument("--keep", action="store_true",
                     help="keep the trace dir for Perfetto inspection")
     ap.add_argument("--cpu", action="store_true",
@@ -162,7 +165,7 @@ def main():
 
     trace_dir = tempfile.mkdtemp(prefix="bscan_trace_")
     run_dispatch(args.batch, args.scan, args.remat_policy, args.host_crop,
-                 trace_dir)
+                 trace_dir, rbg=args.rbg)
     agg = aggregate(trace_dir)
     out = {
         "batch": args.batch,
