@@ -1,0 +1,174 @@
+"""Online/batch retrieval serving for a trained BIOSCAN-CLIP model.
+
+No reference equivalent (the reference only does offline eval sweeps,
+/root/reference/scripts/inference_and_eval.py) — this is the production
+path: load the towers + a resident key database once, then answer
+taxonomy queries over HTTP or from a JSON file.
+
+    # HTTP daemon
+    python -m bioscan_clip_tpu.cli.serve 'model_config=NAME' \\
+        'serve.keys=.../extracted_features_of_all_keys.hdf5' \\
+        'serve.feature_type=encoded_image_feature' 'serve.port=8901'
+
+    # one-shot batch: read a request JSON, print the response JSON
+    python -m bioscan_clip_tpu.cli.serve 'model_config=NAME' \\
+        'serve.keys=...' 'serve.once=queries.json'
+
+API (also the `serve.once` file schema):
+    GET  /healthz                         -> service info
+    POST /embed  {"dna": [...]} | {"image_b64": [...]} | {"text": [...]}
+                                          -> {"embeddings": [[...]]}
+    POST /search same inputs or {"embedding": [[...]]}, optional "k"
+                                          -> {"predictions": [{level: [top-k
+                                             labels]}], "similarities": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def build_service(args, out=print):
+    import jax
+    import jax.numpy as jnp
+
+    from bioscan_clip_tpu.models.clip import (
+        init_clip_params,
+        load_clip_model,
+    )
+    from bioscan_clip_tpu.parallel.mesh import create_mesh
+    from bioscan_clip_tpu.retrieval.service import RetrievalService
+    from bioscan_clip_tpu.train.checkpoint import load_pth_into_params
+    from bioscan_clip_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    mc = args.model_config
+    sv = getattr(args, "serve", {}) or {}
+    out("Initialize model...")
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = load_clip_model(args, dtype=dtype)
+    params = init_clip_params(model, jax.random.PRNGKey(0))
+    if getattr(mc, "load_ckpt", True) and mc.ckpt_path and \
+            os.path.isfile(mc.ckpt_path):
+        params = load_pth_into_params(mc.ckpt_path, params, mc.output_dim)
+        out(f"Loaded {mc.ckpt_path}")
+    mesh = create_mesh()
+    kw = dict(
+        mesh=mesh,
+        max_k=int(sv.get("max_k", 5)),
+        max_batch=int(sv.get("max_batch", 256)),
+        openclip_norm=bool(getattr(mc, "for_open_clip", False)),
+    )
+    keys_path = sv.get("keys")
+    if keys_path:
+        out(f"Loading key database from {keys_path} ...")
+        service = RetrievalService.from_export(
+            model, params, keys_path,
+            feature_type=sv.get("feature_type", "encoded_image_feature"),
+            **kw,
+        )
+        out(f"Key database resident: {service.prepared.n_keys} keys")
+    else:
+        service = RetrievalService(model, params, **kw)
+    return service
+
+
+def make_handler(service):
+    from http.server import BaseHTTPRequestHandler
+
+    from bioscan_clip_tpu.retrieval.service import handle_request
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def do_GET(self):
+            if self.path in ("/healthz", "/"):
+                self._send(200, service.info())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/search":
+                    self._send(200, handle_request(service, body))
+                elif self.path == "/embed":
+                    import base64
+
+                    if "dna" in body:
+                        emb = service.embed_dna(body["dna"])
+                    elif "text" in body:
+                        emb = service.embed_text(body["text"])
+                    elif "image_b64" in body:
+                        emb = service.embed_images(
+                            [base64.b64decode(s)
+                             for s in body["image_b64"]]
+                        )
+                    else:
+                        raise ValueError(
+                            "need one of: dna, text, image_b64"
+                        )
+                    self._send(200, {"embeddings": emb.tolist()})
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as e:  # serving: report, don't die
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def run(args, out=print):
+    from http.server import ThreadingHTTPServer
+
+    from bioscan_clip_tpu.retrieval.service import handle_request
+
+    service = build_service(args, out=out)
+    sv = getattr(args, "serve", {}) or {}
+
+    once = sv.get("once")
+    if once:
+        with open(once) as f:
+            body = json.load(f)
+        result = handle_request(service, body)
+        output = sv.get("output")
+        text = json.dumps(result)
+        if output:
+            with open(output, "w") as f:
+                f.write(text)
+            out(f"Wrote {output}")
+        else:
+            print(text)
+        return result
+
+    port = int(sv.get("port", 8901))
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
+    out(f"Serving on :{port} (GET /healthz, POST /embed, POST /search)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        out("shutting down")
+        httpd.shutdown()
+
+
+def main(argv=None):
+    from bioscan_clip_tpu.config.core import load_config
+
+    argv = argv if argv is not None else sys.argv[1:]
+    args = load_config(overrides=list(argv))
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()
