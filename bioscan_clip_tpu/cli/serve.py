@@ -40,7 +40,10 @@ def build_service(args, out=print):
     )
     from bioscan_clip_tpu.parallel.mesh import create_mesh
     from bioscan_clip_tpu.retrieval.service import RetrievalService
-    from bioscan_clip_tpu.train.checkpoint import load_pth_into_params
+    from bioscan_clip_tpu.train.checkpoint import (
+        load_pth_into_params,
+        resolve_reference_ckpt,
+    )
     from bioscan_clip_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -50,10 +53,25 @@ def build_service(args, out=print):
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     model = load_clip_model(args, dtype=dtype)
     params = init_clip_params(model, jax.random.PRNGKey(0))
-    if getattr(mc, "load_ckpt", True) and mc.ckpt_path and \
-            os.path.isfile(mc.ckpt_path):
-        params = load_pth_into_params(mc.ckpt_path, params, mc.output_dim)
-        out(f"Loaded {mc.ckpt_path}")
+    ckpt_path = getattr(mc, "ckpt_path", None)
+    if ckpt_path and os.path.isdir(ckpt_path):
+        resolved = resolve_reference_ckpt(ckpt_path)
+        if resolved:
+            ckpt_path = resolved
+    if getattr(mc, "load_ckpt", True):
+        if ckpt_path and os.path.isfile(ckpt_path):
+            params = load_pth_into_params(ckpt_path, params, mc.output_dim)
+            out(f"Loaded {ckpt_path}")
+        else:
+            # a retrieval service on random weights answers garbage — be
+            # loud (load_ckpt=false is the explicit no-align opt-out)
+            raise FileNotFoundError(
+                f"serve: no checkpoint at model_config.ckpt_path="
+                f"{mc.ckpt_path!r}; set a valid .pth (or directory "
+                "containing best.pth/last.pth), or pass "
+                "model_config.load_ckpt=false to serve pretrained-init "
+                "towers deliberately"
+            )
     mesh = create_mesh()
     kw = dict(
         mesh=mesh,

@@ -29,7 +29,6 @@ import numpy as np
 
 from bioscan_clip_tpu.retrieval.engine import (
     PreparedKeys,
-    l2norm_np,
     make_prediction,
 )
 
@@ -48,16 +47,12 @@ class RetrievalService:
 
     def __init__(self, model, params, keys=None, key_labels=None,
                  mesh=None, max_k: int = 5, max_batch: int = 256,
-                 openclip_norm: bool = False, dtype=None):
+                 openclip_norm: bool = False):
         self.model = model
         self.mesh = mesh
         self.max_k = max_k
         self.max_batch = max_batch
         self.openclip_norm = openclip_norm
-        if dtype is None:
-            dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
-                     else jnp.float32)
-        self.dtype = dtype
         self.params = params
         self.prepared = None
         self.key_labels = None
@@ -115,12 +110,11 @@ class RetrievalService:
 
             @jax.jit
             def fwd(params, x):
-                out = self.model.apply(
+                # encode_* already L2-normalizes (models/clip.py)
+                return self.model.apply(
                     {"params": params}, x, deterministic=True,
                     method=method,
-                )
-                out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
-                return out.astype(jnp.float32)
+                ).astype(jnp.float32)
 
             self._jitted[key] = fwd
         return self._jitted[key]
@@ -199,11 +193,15 @@ class RetrievalService:
         similarities)."""
         if self.prepared is None:
             raise ValueError("no key database installed (set_keys)")
-        k = int(k or self.max_k)
-        q = l2norm_np(np.asarray(embeddings, np.float32))
+        # clamp: k is a static arg of the jitted search — an unbounded
+        # client k would drive unbounded recompilation on the serving chip
+        k = int(k) if k else self.max_k
+        if not 1 <= k <= self.max_k:
+            raise ValueError(f"k must be in [1, {self.max_k}], got {k}")
+        # make_prediction normalizes the query matrix itself
         preds, sims = make_prediction(
-            q, self.prepared, self.key_labels, with_similarity=True,
-            max_k=k, mesh=self.mesh,
+            np.asarray(embeddings, np.float32), self.prepared,
+            self.key_labels, with_similarity=True, max_k=k, mesh=self.mesh,
         )
         return preds, np.asarray(sims)
 

@@ -128,7 +128,9 @@ def make_flat_train_step(model, mesh, logit_scale=None,
     keeps the input state buffers alive instead of aliasing them."""
     import functools
 
-    from bioscan_clip_tpu.data.transforms import train_transform
+    from bioscan_clip_tpu.data.transforms import (
+        train_transform_auto as train_transform,
+    )
     from bioscan_clip_tpu.losses.contrastive import (
         multimodal_contrastive_loss,
     )
@@ -230,7 +232,9 @@ def make_flat_scan_train_step(model, mesh, steps_per_call: int,
     """
     import functools
 
-    from bioscan_clip_tpu.data.transforms import train_transform
+    from bioscan_clip_tpu.data.transforms import (
+        train_transform_auto as train_transform,
+    )
     from bioscan_clip_tpu.losses.contrastive import (
         multimodal_contrastive_loss,
     )

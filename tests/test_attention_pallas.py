@@ -130,6 +130,28 @@ def test_pallas_bwd_matches_math_bwd(monkeypatch):
         for a, b_ in zip(g_pallas, g_math):
             np.testing.assert_allclose(a, b_, atol=1e-4, rtol=1e-4)
 
+    # packed (fused-qkv) variant, plain and with a causal score mask —
+    # covers the dqkv ref-view writes and the mask ref ordering
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    causal = jnp.where(
+        np.tril(np.ones((n, n), bool)), 0.0, NEG_INF
+    ).astype(jnp.float32)
+
+    def packed_grad(**kw):
+        def loss(qkv):
+            return jnp.sum(
+                mha_packed(qkv, heads=heads, interpret=True, **kw) * g
+            )
+
+        return jax.grad(loss)(qkv)
+
+    for kw in ({}, {"mask": causal}):
+        monkeypatch.setenv("BSCAN_PALLAS_MHA_BWD", "1")
+        gp = packed_grad(**kw)
+        monkeypatch.setenv("BSCAN_PALLAS_MHA_BWD", "0")
+        gm = packed_grad(**kw)
+        np.testing.assert_allclose(gp, gm, atol=1e-4, rtol=1e-4)
+
 
 def test_packed_vjp_matches_xla_grads():
     rng = np.random.default_rng(5)

@@ -114,7 +114,9 @@ def aggregate(trace_dir):
     for plane in dev_planes or planes:
         for line in plane.lines:
             lname = line.name or ""
-            if lname.startswith("python"):
+            # python-callstack / framework lines are host-side spans, not
+            # XLA ops — never candidates for the leaf-op line
+            if lname.lower().startswith(("python", "framework")):
                 continue
             evs = [(ev.name, ev.duration_ns / 1e6) for ev in line.events
                    if not ev.name.startswith(("$", "end:", "PjitFunction",
