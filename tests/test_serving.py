@@ -120,6 +120,34 @@ def test_search_identity_topk():
                        atol=1e-5)
 
 
+def test_search_multi_device_mesh():
+    """Key database sharded across the 8-device mesh through the service:
+    same results as the single-device path."""
+    from bioscan_clip_tpu.parallel.mesh import create_mesh
+    from bioscan_clip_tpu.retrieval.engine import l2norm_np
+
+    rng = np.random.default_rng(5)
+    keys = rng.standard_normal((64, D_OUT)).astype(np.float32)
+    labels = [
+        {"order": "o", "family": "f", "genus": "g", "species": f"s{i}"}
+        for i in range(64)
+    ]
+    svc1 = _tiny_service(with_keys=False)
+    svc1.set_keys(keys, labels)
+    svc8 = _tiny_service(with_keys=False)
+    svc8.mesh = create_mesh()
+    svc8.set_keys(keys, labels)
+    assert svc8.prepared.n_dev == len(jax.devices())
+
+    q = l2norm_np(rng.standard_normal((5, D_OUT)).astype(np.float32))
+    out1 = svc1.search(embeddings=q, k=3)
+    out8 = svc8.search(embeddings=q, k=3)
+    assert out1["predictions"] == out8["predictions"]
+    np.testing.assert_allclose(
+        out1["similarities"], out8["similarities"], atol=1e-5
+    )
+
+
 def test_search_via_dna(service):
     out = service.search(dna=_barcodes(2), k=3)
     assert len(out["predictions"]) == 2
