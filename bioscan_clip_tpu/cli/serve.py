@@ -78,6 +78,7 @@ def build_service(args, out=print):
         max_k=int(sv.get("max_k", 5)),
         max_batch=int(sv.get("max_batch", 256)),
         openclip_norm=bool(getattr(mc, "for_open_clip", False)),
+        image_host_parity=bool(sv.get("image_host_parity", True)),
     )
     keys_path = sv.get("keys")
     if keys_path:

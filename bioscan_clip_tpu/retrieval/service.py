@@ -47,12 +47,19 @@ class RetrievalService:
 
     def __init__(self, model, params, keys=None, key_labels=None,
                  mesh=None, max_k: int = 5, max_batch: int = 256,
-                 openclip_norm: bool = False):
+                 openclip_norm: bool = False, image_host_parity: bool = True):
         self.model = model
         self.mesh = mesh
         self.max_k = max_k
         self.max_batch = max_batch
         self.openclip_norm = openclip_norm
+        # True: bit-faithful torchvision host eval preprocessing (matches
+        # offline extraction exactly; ~23 ms/image of host work). False:
+        # cheap cv2 resize+crop on host, antialias resize on DEVICE inside
+        # the tower jit — ~10x less host work per image, filter-equal but
+        # not bit-equal (the pipeline's tpu.eval_host_parity_resize=false
+        # tradeoff).
+        self.image_host_parity = image_host_parity
         self.params = params
         self.prepared = None
         self.key_labels = None
@@ -103,13 +110,25 @@ class RetrievalService:
     # ---------------- embedding ----------------
 
     def _encoder(self, name: str, batch: int):
-        """Jitted deterministic tower forward for one padded bucket size."""
+        """Jitted deterministic tower forward for one padded bucket size.
+        `name="image_u8"`: uint8 input, eval resize/crop fused into the
+        same jit on device (the fast image path)."""
         key = (name, batch)
         if key not in self._jitted:
-            method = getattr(self.model, f"encode_{name}")
+            device_eval = name == "image_u8"
+            method = getattr(
+                self.model, "encode_image" if device_eval
+                else f"encode_{name}"
+            )
 
             @jax.jit
             def fwd(params, x):
+                if device_eval:
+                    from bioscan_clip_tpu.data.transforms import (
+                        eval_transform,
+                    )
+
+                    x = eval_transform(x, normalize=self.openclip_norm)
                 # encode_* already L2-normalizes (models/clip.py)
                 return self.model.apply(
                     {"params": params}, x, deterministic=True,
@@ -140,23 +159,44 @@ class RetrievalService:
             s += take
         return np.concatenate(rows, axis=0)
 
-    def embed_images(self, images: Sequence) -> np.ndarray:
+    def embed_images(self, images: Sequence,
+                     host_parity: Optional[bool] = None) -> np.ndarray:
         """images: JPEG/PNG bytes or decoded uint8 HWC arrays (any sizes).
-        Host torchvision-exact eval preprocessing, then the image tower."""
-        from bioscan_clip_tpu.data.pipeline import _decode_jpeg
+
+        `host_parity=True` (default from the constructor): torchvision-
+        exact host eval preprocessing — embeddings bit-match offline
+        extraction. False: cv2 shorter-side resize + center crop to 256²
+        uint8 on host, antialias resize/crop on DEVICE inside the tower
+        jit — ~10x less host work, filter-equal results."""
+        from bioscan_clip_tpu.data.pipeline import (
+            _decode_jpeg,
+            _host_resize_shorter,
+        )
         from bioscan_clip_tpu.data.transforms import host_eval_image
 
         if self.model.image_encoder is None:
             raise ValueError("model has no image tower")
-        pre = np.stack([
-            host_eval_image(
-                _decode_jpeg(im) if isinstance(im, (bytes, bytearray))
-                else np.asarray(im),
-                normalize=self.openclip_norm,
-            )
+        if host_parity is None:
+            host_parity = self.image_host_parity
+        decoded = [
+            _decode_jpeg(im) if isinstance(im, (bytes, bytearray))
+            else np.asarray(im)
             for im in images
-        ]).astype(np.float32)
-        return self._run_bucketed("image", pre, pre.shape[0])
+        ]
+        if host_parity:
+            pre = np.stack([
+                host_eval_image(im, normalize=self.openclip_norm)
+                for im in decoded
+            ]).astype(np.float32)
+            return self._run_bucketed("image", pre, pre.shape[0])
+        crops = []
+        for im in decoded:
+            r = _host_resize_shorter(np.asarray(im, np.uint8), 256)
+            h, w = r.shape[:2]
+            top, left = (h - 256) // 2, (w - 256) // 2
+            crops.append(r[top : top + 256, left : left + 256])
+        pre = np.stack(crops)
+        return self._run_bucketed("image_u8", pre, pre.shape[0])
 
     def embed_dna(self, barcodes: Sequence[str]) -> np.ndarray:
         """barcodes: raw COI nucleotide strings (any length; padded /

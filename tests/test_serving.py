@@ -120,6 +120,22 @@ def test_search_identity_topk():
                        atol=1e-5)
 
 
+def test_embed_images_device_eval_path(service):
+    """host_parity=False (cv2 crop + device resize) stays close to the
+    bit-faithful host path: unit-norm, same shape, high cosine."""
+    rng = np.random.default_rng(7)
+    imgs = [
+        rng.integers(0, 256, size=(300, 400, 3)).astype(np.uint8)
+        for _ in range(3)
+    ]
+    a = service.embed_images(imgs, host_parity=True)
+    b = service.embed_images(imgs, host_parity=False)
+    assert b.shape == a.shape
+    np.testing.assert_allclose(np.linalg.norm(b, axis=-1), 1.0, atol=1e-5)
+    cos = np.sum(a * b, axis=-1)
+    assert np.all(cos > 0.9), cos
+
+
 def test_search_multi_device_mesh():
     """Key database sharded across the 8-device mesh through the service:
     same results as the single-device path."""
