@@ -21,6 +21,7 @@ def main():
     nproc = int(sys.argv[2])
     port = int(sys.argv[3])
     out_path = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "plain"
 
     import jax
 
@@ -60,17 +61,38 @@ def main():
 
     B = 16
     local = B // nproc
-    full = _batch(B)
     my_rows = slice(pid * local, (pid + 1) * local)
-    local_batch = {k: np.asarray(v)[my_rows] for k, v in full.items()}
 
-    step = make_train_step(model, mesh)
-    losses = []
+    def local_rows(b):
+        return {k: np.asarray(v)[my_rows] for k, v in b.items()}
+
     rng = jax.random.PRNGKey(0)
-    for _ in range(2):
-        batch = shard_batch(local_batch, mesh)
-        state, loss = step(state, batch, rng)
-        losses.append(float(loss))
+    if mode == "scan":
+        # K-steps-per-dispatch over process-local stacked shards — the
+        # production pod config (tpu.steps_per_call on a multi-host mesh)
+        from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
+        from bioscan_clip_tpu.train.loop import (
+            make_scan_train_step,
+            stack_batches,
+        )
+
+        stacked = shard_stacked_batches(
+            stack_batches(
+                [local_rows(_batch(B, seed=s)) for s in range(2)]
+            ),
+            mesh,
+        )
+        kstep = make_scan_train_step(model, mesh, steps_per_call=2)
+        state, loss_arr = kstep(state, stacked, rng)
+        losses = [float(x) for x in np.asarray(loss_arr)]
+    else:
+        local_batch = local_rows(_batch(B))
+        step = make_train_step(model, mesh)
+        losses = []
+        for _ in range(2):
+            batch = shard_batch(local_batch, mesh)
+            state, loss = step(state, batch, rng)
+            losses.append(float(loss))
     fp = float(
         sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(state.params))
     )

@@ -34,16 +34,34 @@ def _free_port() -> int:
     return port
 
 
-def _reference_run():
+def _reference_run(mode="plain"):
     """1-process, 8-device ground truth (the conftest virtual mesh)."""
     import jax.numpy as jnp
 
     model = _tiny_model()
     state = _init_state(model)
     mesh = create_mesh()
+    rng = jax.random.PRNGKey(0)
+    if mode == "scan":
+        from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
+        from bioscan_clip_tpu.train.loop import (
+            make_scan_train_step,
+            stack_batches,
+        )
+
+        stacked = shard_stacked_batches(
+            stack_batches([_batch(16, seed=s) for s in range(2)]), mesh
+        )
+        kstep = make_scan_train_step(model, mesh, steps_per_call=2)
+        state, loss_arr = kstep(state, stacked, rng)
+        losses = [float(x) for x in np.asarray(loss_arr)]
+        fp = float(
+            sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree.leaves(state.params))
+        )
+        return losses, fp
     step = make_train_step(model, mesh)
     losses = []
-    rng = jax.random.PRNGKey(0)
     for _ in range(2):
         batch = shard_batch(_batch(16), mesh)
         state, loss = step(state, batch, rng)
@@ -55,8 +73,9 @@ def _reference_run():
 
 
 @pytest.mark.slow
-def test_two_process_matches_single_process(tmp_path):
-    ref_losses, ref_fp = _reference_run()
+@pytest.mark.parametrize("mode", ["plain", "scan"])
+def test_two_process_matches_single_process(tmp_path, mode):
+    ref_losses, ref_fp = _reference_run(mode)
 
     port = _free_port()
     env = dict(os.environ)
@@ -72,7 +91,8 @@ def test_two_process_matches_single_process(tmp_path):
         outs.append(out)
         procs.append(
             subprocess.Popen(
-                [sys.executable, worker, str(pid), "2", str(port), str(out)],
+                [sys.executable, worker, str(pid), "2", str(port), str(out),
+                 mode],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
