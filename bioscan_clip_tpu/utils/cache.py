@@ -17,12 +17,29 @@ DEFAULT_DIR = os.environ.get(
 
 
 def enable_compilation_cache(directory: str = DEFAULT_DIR) -> bool:
-    """Turn on the on-disk compilation cache. Returns True if enabled."""
+    """Turn on the on-disk compilation cache. Returns True if enabled.
+
+    TPU-only by default: XLA:CPU cache entries embed host machine features,
+    and replaying them on a different host warns "could lead to SIGILL"
+    (observed across this repo's CI hosts). CPU compiles are seconds anyway;
+    the cache's value is the tunneled-TPU compiles. Set
+    ``BSCAN_COMPILATION_CACHE=<dir>`` to force it on for any backend.
+    """
+    forced = bool(os.environ.get("BSCAN_COMPILATION_CACHE"))
     if os.environ.get("BSCAN_COMPILATION_CACHE") == "0":
         return False
     try:
         import jax
 
+        # Decide from the configured platform list (no backend init — that
+        # would dial the tunnel during import in ambient interpreters).
+        platforms = (
+            getattr(jax.config, "jax_platforms", None)
+            or os.environ.get("JAX_PLATFORMS", "")
+            or ""
+        )
+        if not forced and platforms.split(",")[0].strip() == "cpu":
+            return False
         os.makedirs(directory, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", directory)
         # cache everything that took meaningful compile time
