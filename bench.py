@@ -348,6 +348,16 @@ def main(batch: int = BATCH):
 
 
 if __name__ == "__main__":
+    if "--champion" in sys.argv:
+        # The measured-best train config (BENCH_TRAIN_r03.json):
+        # B=64, K=384 steps/dispatch, dots remat, rbg PRNG, host crop,
+        # resident same_batch scan. Equivalent to:
+        #   bench.py --train --host-crop --batch 64 --scan 384 \
+        #            --remat-policy dots --rbg --same-batch
+        sys.argv += ["--train", "--host-crop", "--rbg", "--same-batch"]
+        main_train(64, scan=384, remat=True, remat_policy="dots",
+                   host_crop=True)
+        sys.exit(0)
     if "--train" in sys.argv:
         bi = (
             int(sys.argv[sys.argv.index("--batch") + 1])
