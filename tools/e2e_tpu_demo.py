@@ -57,6 +57,35 @@ def main():
         # only effective override
         jax.config.update("jax_platforms", "cpu")
 
+    # The tunneled TPU worker restarts itself after watchdog kills, and jax
+    # caches a failed backend init for the life of the process — so probe
+    # for availability in SUBPROCESSES (up to ~20 min) before the first
+    # in-process jax.devices() call.
+    if not os.environ.get("BSCAN_E2E_TINY"):
+        import subprocess
+
+        probe = ("import jax; d=jax.devices()[0]; "
+                 "print('ok', d)")
+        deadline = time.time() + float(
+            os.environ.get("BSCAN_E2E_WAIT_S", 1200)
+        )
+        while True:
+            err = ""
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", probe], capture_output=True,
+                    text=True, timeout=600,
+                )
+                if r.returncode == 0 and "ok" in r.stdout:
+                    break
+                err = r.stderr[-2000:]
+            except subprocess.TimeoutExpired:
+                err = "probe timed out (600 s)"
+            if time.time() > deadline:
+                raise RuntimeError(f"TPU backend unavailable:\n{err}")
+            print("backend unavailable; retrying in 60 s", flush=True)
+            time.sleep(60)
+
     record["device"] = str(jax.devices()[0])
 
     if os.environ.get("BSCAN_E2E_TINY"):
