@@ -88,6 +88,12 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
 
     model, params = _init_flagship(remat=remat, no_dropout=no_dropout,
                                    remat_policy=remat_policy)
+    if "--frozen-bf16" in sys.argv:
+        # bit-identical under bf16 compute; halves the frozen-tree footprint
+        # and weight HBM reads (train/state.py cast_frozen_params)
+        from bioscan_clip_tpu.train.state import cast_frozen_params
+
+        params = cast_frozen_params(params)
     mesh = create_mesh()
     rng = np.random.default_rng(0)
     img_hw = (224, 224) if host_crop else (256, 384)
@@ -190,6 +196,7 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
             "remat": remat,
             "remat_policy": remat_policy,
             "host_crop": host_crop,
+            "frozen_bf16": "--frozen-bf16" in sys.argv,
             "rbg": "--rbg" in sys.argv,
             "fast_ln": os.environ.get("BSCAN_FAST_LN", "0") == "1",
             "no_dropout": no_dropout,
@@ -280,6 +287,10 @@ def main(batch: int = BATCH):
     BATCH = batch  # noqa: N806 — local override of the module default
     dev = jax.devices()[0]
     model, params = _init_flagship()
+    if "--frozen-bf16" in sys.argv:
+        from bioscan_clip_tpu.train.state import cast_frozen_params
+
+        params = cast_frozen_params(params)
     params = jax.device_put(params, dev)
 
     rng = np.random.default_rng(0)

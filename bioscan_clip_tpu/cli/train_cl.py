@@ -106,6 +106,20 @@ def run(args, max_steps_per_epoch=None, out=print):
     total_steps = steps_per_epoch * mc.epochs
     schedule = build_schedule(mc, total_steps)
     disable_lora = bool(getattr(mc, "disable_lora", False))
+
+    # tpu.frozen_dtype=bfloat16: store the frozen (non-LN) tower weights in
+    # bf16 — bit-identical under bf16 compute (the towers cast per use), but
+    # halves the resident frozen-tree footprint and weight HBM reads
+    # (train/state.py cast_frozen_params). Skipped under fp32 compute, where
+    # it would change numerics.
+    _tpu = getattr(args, "tpu", None)
+    frozen_dtype = str(_tpu.get("frozen_dtype", "") if _tpu else "")
+    if frozen_dtype in ("bfloat16", "bf16") and dtype == jnp.bfloat16:
+        from bioscan_clip_tpu.train.state import cast_frozen_params
+
+        params = cast_frozen_params(params, disable_lora=disable_lora)
+        out("frozen params stored in bfloat16")
+
     state = create_train_state(model, params, schedule, disable_lora=disable_lora)
 
     mesh = create_mesh(getattr(args, "tpu", {}).get("mesh_shape")

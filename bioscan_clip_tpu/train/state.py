@@ -22,6 +22,43 @@ import optax
 
 TRAINABLE_HEAD_NAMES = ("head", "decoder", "proj")
 
+# Modules whose parameters are CONSUMED in fp32: every LayerNorm in the
+# towers runs at dtype=float32 (models/common.py ln_dtype — checkpoint-parity
+# numerics), so its scale/bias must stay fp32. Everything else (Dense/Conv/
+# Embed kernels+biases, raw pos/cls/proj params) is cast to the module
+# compute dtype (bfloat16 on TPU) at every use.
+LN_MODULE_NAMES = frozenset({
+    "norm", "norm1", "norm2",                           # ViT (timm names)
+    "emb_ln", "attn_ln", "out_ln", "transform_ln",      # BERT towers
+    "ln_1", "ln_2", "ln_pre", "ln_post", "ln_final",    # OpenCLIP towers
+})
+
+
+def cast_frozen_params(params, dtype=jnp.bfloat16, disable_lora: bool = False):
+    """Store bf16-consumed FROZEN leaves in `dtype` (tpu.frozen_dtype knob).
+
+    With bfloat16 compute the towers cast every Dense/Conv/Embed param to
+    bf16 per use (flax promote_dtype), so storing those frozen leaves in
+    bf16 is BIT-IDENTICAL compute — it just halves the resident frozen-tree
+    footprint (~900 -> ~460 MB for the flagship) and the weight HBM reads
+    in the forward and the backward's dx matmuls. LN params (fp32
+    consumers) and all trainable leaves (AdamW masters) stay fp32.
+
+    Only meaningful when the model computes in bfloat16; callers gate on
+    that (cli/train_cl.py, bench.py) so fp32 parity paths are untouched.
+    """
+    labels = param_labels(params, disable_lora=disable_lora)
+
+    def cast(path, leaf, lab):
+        if lab != "frozen" or leaf.dtype != jnp.float32:
+            return leaf
+        keys = [getattr(p, "key", None) for p in path]
+        if any(k in LN_MODULE_NAMES for k in keys):
+            return leaf
+        return leaf.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params, labels)
+
 
 def param_labels(params, disable_lora: bool = False):
     """Label each leaf 'trainable' or 'frozen' by its tree path."""
