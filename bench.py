@@ -287,6 +287,16 @@ def main(batch: int = BATCH):
     BATCH = batch  # noqa: N806 — local override of the module default
     dev = jax.devices()[0]
     model, params = _init_flagship()
+    lora_merged = "--no-merge-lora" not in sys.argv
+    if lora_merged:
+        # Measure the merged deployment form (the extract/eval/serve CLIs'
+        # `tpu.merge_lora` path): adapters folded into the projection
+        # kernels, towers rebuilt rank-0 — zero adapter ops per layer.
+        from __graft_entry__ import _flagship_model
+        from bioscan_clip_tpu.models.lora import merge_lora_params
+
+        params = merge_lora_params(params)
+        model = _flagship_model(lora_rank=0)
     if "--frozen-bf16" in sys.argv:
         from bioscan_clip_tpu.train.state import cast_frozen_params
 
@@ -347,6 +357,7 @@ def main(batch: int = BATCH):
         "vs_baseline": round(samples_per_s / TARGET, 3),
         "vs_a100_estimate": round(samples_per_s / A100_TRIMODAL_EST, 2),
         "batch": BATCH,
+        "lora_merged": lora_merged,
         "step_ms": round(1000 * dur / STEPS, 2),
         "compile_s": round(compile_s, 1),
         "device": str(dev),

@@ -51,7 +51,11 @@ def run(args, out=print):
     from bioscan_clip_tpu.data.dataset import (
         load_bioscan_dataloader_all_small_splits,
     )
-    from bioscan_clip_tpu.models.clip import init_clip_params, load_clip_model
+    from bioscan_clip_tpu.models.clip import (
+        init_clip_params,
+        load_clip_model,
+        maybe_merge_lora,
+    )
     from bioscan_clip_tpu.parallel.mesh import create_mesh
     from bioscan_clip_tpu.train.checkpoint import (
         load_pth_into_params,
@@ -74,6 +78,7 @@ def run(args, out=print):
     ):
         params = load_pth_into_params(mc.ckpt_path, params, mc.output_dim)
         out(f"Loaded {mc.ckpt_path}")
+    model, params = maybe_merge_lora(args, model, params, dtype=dtype)
 
     mc.batch_size = 24
     loaders = load_bioscan_dataloader_all_small_splits(args)

@@ -16,7 +16,11 @@ def run(args, out=print):
     import jax.numpy as jnp
 
     from bioscan_clip_tpu.data.insect import load_insect_dataloader
-    from bioscan_clip_tpu.models.clip import init_clip_params, load_clip_model
+    from bioscan_clip_tpu.models.clip import (
+        init_clip_params,
+        load_clip_model,
+        maybe_merge_lora,
+    )
     from bioscan_clip_tpu.parallel.mesh import create_mesh
     from bioscan_clip_tpu.retrieval.bzsl import (
         export_bzsl_csvs,
@@ -41,6 +45,7 @@ def run(args, out=print):
     if os.path.isfile(ckpt):
         params = load_pth_into_params(ckpt, params, mc.output_dim)
         out(f"Loaded {ckpt}")
+    model, params = maybe_merge_lora(args, model, params, dtype=dtype)
 
     mesh = create_mesh()
     feats = extract_features(params, model, mesh, all_loader)

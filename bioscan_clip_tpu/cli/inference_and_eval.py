@@ -66,7 +66,11 @@ def run(args, out=print):
     from bioscan_clip_tpu.data.dataset import (
         load_bioscan_dataloader_all_small_splits,
     )
-    from bioscan_clip_tpu.models.clip import init_clip_params, load_clip_model
+    from bioscan_clip_tpu.models.clip import (
+        init_clip_params,
+        load_clip_model,
+        maybe_merge_lora,
+    )
     from bioscan_clip_tpu.parallel.mesh import create_mesh
     from bioscan_clip_tpu.retrieval.report import inference_and_print_result
     from bioscan_clip_tpu.train.checkpoint import (
@@ -117,6 +121,7 @@ def run(args, out=print):
                     mc.ckpt_path, params, mc.output_dim
                 )
                 out(f"Loaded {mc.ckpt_path}")
+        model, params = maybe_merge_lora(args, model, params, dtype=dtype)
 
         mc.batch_size = 24  # (inference_and_eval.py:846)
         loaders = load_bioscan_dataloader_all_small_splits(args)

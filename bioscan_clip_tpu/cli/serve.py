@@ -37,6 +37,7 @@ def build_service(args, out=print):
     from bioscan_clip_tpu.models.clip import (
         init_clip_params,
         load_clip_model,
+        maybe_merge_lora,
     )
     from bioscan_clip_tpu.parallel.mesh import create_mesh
     from bioscan_clip_tpu.retrieval.service import RetrievalService
@@ -72,6 +73,7 @@ def build_service(args, out=print):
                 "model_config.load_ckpt=false to serve pretrained-init "
                 "towers deliberately"
             )
+    model, params = maybe_merge_lora(args, model, params, dtype=dtype)
     mesh = create_mesh()
     kw = dict(
         mesh=mesh,

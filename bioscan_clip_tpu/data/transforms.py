@@ -278,10 +278,19 @@ def color_jitter(images, rng, brightness=0.5, contrast=0.5, saturation=0.5,
 )
 def eval_transform(images_u8, size: int = 224, resize_to: int = 256,
                    normalize: bool = False):
-    """ToTensor -> Resize(256) -> CenterCrop(224) [-> CLIP Normalize]."""
-    x = images_u8.astype(jnp.float32) / 255.0
-    x = resize_shorter_side(x, resize_to)
-    x = center_crop(x, size)
+    """ToTensor -> Resize(256) -> CenterCrop(224) [-> CLIP Normalize].
+
+    When Resize is a no-op (shorter side already == resize_to, the host
+    pipeline's standard frame), crop FIRST on the uint8 frame and cast
+    after: scaling commutes with the crop slice exactly, and the fp32
+    cast + crop then touch (224, 224) instead of the full frame."""
+    B, H, W, C = images_u8.shape
+    if tv_resize_size(H, W, resize_to) == (H, W) and min(H, W) >= size:
+        x = center_crop(images_u8, size).astype(jnp.float32) / 255.0
+    else:
+        x = images_u8.astype(jnp.float32) / 255.0
+        x = resize_shorter_side(x, resize_to)
+        x = center_crop(x, size)
     if normalize:
         x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
     return x

@@ -30,7 +30,11 @@ import jax.numpy as jnp
 
 from jax.ad_checkpoint import checkpoint_name
 
-from bioscan_clip_tpu.models.common import ln_dtype, remat_policy
+from bioscan_clip_tpu.models.common import (
+    gelu_exact,
+    ln_dtype,
+    remat_policy,
+)
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
 from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha
 
@@ -152,7 +156,9 @@ class BertLayer(nn.Module):
 
         y = nn.Dense(c.intermediate_size, dtype=self.dtype, name="inter")(x)
         y = checkpoint_name(y, "mlp_pre")
-        y = jax.nn.gelu(y, approximate=False)  # HF 'gelu' is exact erf
+        # HF 'gelu' is exact erf; gelu_exact is bit-identical and tags the
+        # erfc intermediate for the "dots_act" remat policy.
+        y = gelu_exact(y)
         y = nn.Dense(d, dtype=self.dtype, name="out")(y)
         if c.hidden_dropout > 0:
             y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
@@ -250,7 +256,7 @@ class BarcodeBertDnaEncoder(nn.Module):
         d = self.cfg.hidden_size
         # BertPredictionHeadTransform (loaded from the BarcodeBERT ckpt).
         x = nn.Dense(d, dtype=self.dtype, name="transform_dense")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         x = nn.LayerNorm(
             epsilon=self.cfg.ln_eps, name="transform_ln", dtype=jnp.float32
         )(x)

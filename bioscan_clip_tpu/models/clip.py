@@ -84,7 +84,7 @@ class MultiModalCLIP(nn.Module):
         return image_output, dna_output, language_output
 
 
-def load_clip_model(args, dtype=jnp.bfloat16):
+def load_clip_model(args, dtype=jnp.bfloat16, lora_rank=None):
     """Config-driven model assembly (parity: simple_clip.py:125-203).
 
     Returns the (uninitialized) Flax module. Parameter initialization /
@@ -98,10 +98,16 @@ def load_clip_model(args, dtype=jnp.bfloat16):
     (models/common.py:remat_policy; "dots" keeps MXU outputs and
     recomputes only elementwise work — near-no-remat speed at a
     fraction of the memory).
+
+    `lora_rank` overrides the config-derived rank — inference CLIs pass 0
+    after `merge_lora_params` folded the adapters into the kernels
+    (`tpu.merge_lora`), so the towers run zero adapter ops.
     """
     mc = args.model_config
     disable_lora = bool(getattr(mc, "disable_lora", False))
     rank = 0 if disable_lora else 4
+    if lora_rank is not None:
+        rank = int(lora_rank)
     output_dim = mc.output_dim
     tpu_cfg = getattr(args, "tpu", None)
     remat = bool(tpu_cfg.get("remat", False)) if tpu_cfg else False
@@ -195,6 +201,24 @@ def load_clip_model(args, dtype=jnp.bfloat16):
         image_encoder=image_encoder,
         dna_encoder=dna_encoder,
         language_encoder=language_encoder,
+    )
+
+
+def maybe_merge_lora(args, model, params, dtype=jnp.bfloat16):
+    """`tpu.merge_lora: true` — fold the LoRA adapters into the projection
+    kernels (models/lora.py:merge_lora_params) and rebuild the towers with
+    lora_rank=0, so inference runs zero adapter matmuls/slice-updates per
+    layer. Call after checkpoint load; returns (model, params) unchanged
+    when the knob is off or the model has no adapters."""
+    tpu_cfg = getattr(args, "tpu", None)
+    if not (tpu_cfg and bool(tpu_cfg.get("merge_lora", False))):
+        return model, params
+    if bool(getattr(args.model_config, "disable_lora", False)):
+        return model, params  # rank already 0, nothing to fold
+    from bioscan_clip_tpu.models.lora import merge_lora_params
+
+    return load_clip_model(args, dtype=dtype, lora_rank=0), merge_lora_params(
+        params
     )
 
 

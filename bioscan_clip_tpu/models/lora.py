@@ -42,3 +42,66 @@ def lora_delta(x, a_kernel, b_kernel, dtype):
     return jnp.dot(x.astype(dtype), a_kernel.astype(dtype)).dot(
         b_kernel.astype(dtype)
     )
+
+
+def merge_lora_params(params):
+    """Fold every LoRA adapter into its host projection kernel and drop the
+    adapter params — the standard LoRA deployment transform (W' = W + A@B,
+    valid because the adapter reads the same input as the host Dense).
+
+    Returns a tree loadable by the same architecture built with
+    `lora_rank=0`: inference then runs zero adapter matmuls and zero
+    slice-updates per layer. The fold is computed in the param dtype (fp32),
+    so merged-vs-unmerged outputs differ only by compute-dtype rounding
+    (bounded by tests/test_merge_lora.py).
+
+    Handles all three host layouts in this codebase:
+    - ViT fused `qkv` (deltas on the q and v column slices — the
+      `_LoRA_qkv_timm` contract, reference image_encoder.py:42-48),
+    - OpenCLIP packed `in_proj` (q, k and v slices — loratorch
+      enable_lora=['q','k','v'], reference util.py:301-307),
+    - HF BERT separate `query`/`value` Dense modules
+      (reference dna_encoder.py:70-88).
+    """
+
+    def fold(a, b):
+        # (..., d, r) @ (..., r, d) with optional leading nn.scan layer axis
+        return jnp.einsum("...ir,...rj->...ij", a, b)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: walk(v) for k, v in node.items()}
+        if "lora_q_a" not in node:
+            return node
+
+        def delta(slot):
+            return fold(
+                node.pop(f"lora_{slot}_a"), node.pop(f"lora_{slot}_b")
+            )
+
+        if "qkv" in node:
+            kern = node["qkv"]["kernel"]
+            d = kern.shape[-1] // 3
+            kern = kern.at[..., :d].add(delta("q"))
+            kern = kern.at[..., 2 * d :].add(delta("v"))
+            node["qkv"] = {**node["qkv"], "kernel": kern}
+        elif "in_proj" in node:
+            kern = node["in_proj"]["kernel"]
+            d = kern.shape[-1] // 3
+            for i, slot in enumerate(("q", "k", "v")):
+                kern = kern.at[..., i * d : (i + 1) * d].add(delta(slot))
+            node["in_proj"] = {**node["in_proj"], "kernel": kern}
+        elif "query" in node and "value" in node:
+            for slot, mod in (("q", "query"), ("v", "value")):
+                node[mod] = {
+                    **node[mod], "kernel": node[mod]["kernel"] + delta(slot)
+                }
+        else:
+            raise ValueError(
+                "found lora_q_a with no known host projection "
+                f"(siblings: {sorted(node)})"
+            )
+        return node
+
+    return walk(params)

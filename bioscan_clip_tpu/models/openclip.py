@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from bioscan_clip_tpu.models.common import remat_policy
+from bioscan_clip_tpu.models.common import gelu_exact, remat_policy
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
 from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha_packed
 
@@ -118,7 +118,7 @@ class OpenClipBlock(nn.Module):
                          dtype=jnp.float32)(x).astype(self.dtype)
         y = nn.Dense(4 * d, dtype=self.dtype, name="c_fc")(y)
         y = checkpoint_name(y, "mlp_pre")
-        y = jax.nn.gelu(y, approximate=False)
+        y = gelu_exact(y)  # bit-identical erf GELU, "dots_act"-saveable
         y = nn.Dense(d, dtype=self.dtype, name="c_proj")(y)
         return (x + y, mask), None
 

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 
 from jax.ad_checkpoint import checkpoint_name
 
-from bioscan_clip_tpu.models.common import ln_dtype, remat_policy
+from bioscan_clip_tpu.models.common import (
+    gelu_exact,
+    ln_dtype,
+    remat_policy,
+)
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
 from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha_packed
 
@@ -117,7 +121,8 @@ class ViTBlock(nn.Module):
         y = nn.Dense(c.mlp_ratio * d, dtype=self.dtype, name="fc1")(y)
         y = checkpoint_name(y, "mlp_pre")
         # timm uses exact (erf) GELU; jax.nn.gelu defaults to tanh approx.
-        y = jax.nn.gelu(y, approximate=False)
+        # gelu_exact is bit-identical and tags the erfc for "dots_act" remat.
+        y = gelu_exact(y)
         y = nn.Dense(d, dtype=self.dtype, name="fc2")(y)
         if c.dropout > 0:
             y = nn.Dropout(c.dropout)(y, deterministic=deterministic)
@@ -181,10 +186,13 @@ class ViT(nn.Module):
         )(c, self.dtype, name="blocks")
         x, _ = block(x, deterministic)
 
-        x = nn.LayerNorm(epsilon=c.ln_eps, name="norm", dtype=ln_dtype())(x)
+        ln = nn.LayerNorm(epsilon=c.ln_eps, name="norm", dtype=ln_dtype())
         if return_tokens:
-            return x
-        x = x[:, 0]  # CLS pooling (timm 'token' pool for this model)
+            return ln(x)
+        # CLS pooling (timm 'token' pool for this model). LayerNorm is
+        # per-token, so slicing CLS *before* the final LN is bit-identical
+        # to LN-then-slice and skips 196/197 of that fp32 pass.
+        x = ln(x[:, 0])
         if c.num_classes > 0:
             x = nn.Dense(c.num_classes, dtype=self.dtype, name="head")(x)
         return x

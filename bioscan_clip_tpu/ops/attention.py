@@ -485,17 +485,32 @@ def _mha_op_fwd(heads, scale, interpret, q, k, v, bias):
     return out, (q, k, v, bias)
 
 
+def _attn_bwd_store_dtype(q):
+    """Storage dtype for the backward's (B, h, N, N) intermediates: the
+    attention compute dtype. In bf16 towers this halves the backward's
+    dominant HBM traffic (softmax internals and matmul accumulation stay
+    fp32 — only the materialized HBM stores quantize, matching the
+    non-fused XLA path's scores-in-compute-dtype contract); for fp32
+    inputs every cast is a no-op, so the fp32 oracle/tests are bit-exact.
+    `BSCAN_ATTN_BWD_FP32=1` forces fp32 stores in bf16 towers too."""
+    if os.environ.get("BSCAN_ATTN_BWD_FP32", "0") == "1":
+        return jnp.float32
+    return q.dtype
+
+
 def _mha_bwd_math(heads, scale, res, g, mask=None, rate: float = 0.0,
                   seed=None):
     q, k, v, bias = res
     b, n, d = q.shape
     hd = d // heads
-    p = _xla_probs(q, k, bias, heads, scale, mask)  # (B, h, N, N) fp32
+    sdt = _attn_bwd_store_dtype(q)
+    # (B, h, N, N), fp32 softmax internally, stored in sdt
+    p = _xla_probs(q, k, bias, heads, scale, mask).astype(sdt)
     keep = None
     if rate > 0:
         # bit-exact recompute of the kernel's in-VMEM dropout mask
         keep = dropout_keep_4d(seed, b, heads, n, rate)
-    y = p if keep is None else p * keep  # dropped probabilities
+    y = p if keep is None else (p * keep).astype(sdt)  # dropped probs
     gh = g.reshape(b, n, heads, hd)
     vh = v.reshape(b, n, heads, hd)
     qh = q.reshape(b, n, heads, hd)
@@ -503,10 +518,12 @@ def _mha_bwd_math(heads, scale, res, g, mask=None, rate: float = 0.0,
     dv = jnp.einsum("bhnm,bnhd->bmhd", y.astype(g.dtype), gh)
     dp = jnp.einsum(
         "bnhd,bmhd->bhnm", gh, vh, preferred_element_type=jnp.float32
-    )  # dL/dy
+    ).astype(sdt)  # dL/dy
     if keep is not None:
-        dp = dp * keep  # chain through the dropout scaling
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # fp32
+        dp = (dp * keep).astype(sdt)  # chain through the dropout scaling
+    # softmax backward: row correction accumulated in fp32
+    row = jnp.sum((dp * p).astype(jnp.float32), axis=-1, keepdims=True)
+    ds = p.astype(jnp.float32) * (dp.astype(jnp.float32) - row)
     dsc = (ds * scale).astype(g.dtype)
     dq = jnp.einsum("bhnm,bmhd->bnhd", dsc, kh).reshape(b, n, d)
     dk = jnp.einsum("bhnm,bnhd->bmhd", dsc, qh).reshape(b, n, d)

@@ -24,7 +24,9 @@ def tree_max_diff(a, b):
     )
 
 
-@pytest.mark.parametrize("policy", ["full", "dots", "narrow", "wide"])
+@pytest.mark.parametrize(
+    "policy", ["full", "dots", "narrow", "wide", "dots_act"]
+)
 @pytest.mark.parametrize("tower", ["vit", "bert"])
 def test_remat_identical_params_forward_grads(tower, policy):
     if tower == "vit":
@@ -82,6 +84,21 @@ def _init_args(tower):
     if tower == "vit":
         return (jnp.zeros((1, 32, 32, 3)),)
     return (jnp.zeros((1, 10), jnp.int32),)
+
+
+def test_gelu_exact_bit_identical():
+    """gelu_exact (the "dots_act"-taggable form) must match
+    jax.nn.gelu(approximate=False) bitwise in fp32 and bf16."""
+    from bioscan_clip_tpu.models.common import gelu_exact
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal(4096) * 4, dtype
+        )
+        a = gelu_exact(x)
+        b = jax.nn.gelu(x, approximate=False)
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_remat_flagship_factory_flag():
