@@ -176,14 +176,26 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
         state, losses = kstep(state, stacked, key)
         float(losses[-1])
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
+        # The tunnel adds a nondeterministic per-dispatch overhead D
+        # (measured 6-20 s for the same program, PERF_NOTES.md); like the
+        # extraction bench's best-of-chunks, time each K-step dispatch
+        # separately (losses fetch syncs it) and report the best. Each
+        # dispatch stays under the worker's ~68 s execution watchdog.
         n_calls = max(1, steps // scan)
+        if "--dispatches" in sys.argv:
+            n_calls = int(sys.argv[sys.argv.index("--dispatches") + 1])
+        per_call = []
+        enqueue_per = []
         for _ in range(n_calls):
+            t0 = time.perf_counter()
             state, losses = kstep(state, stacked, key)
-        enqueue_s = time.perf_counter() - t0
-        float(losses[-1])
-        dur = time.perf_counter() - t0
-        n_steps = n_calls * scan
+            enqueue_per.append(time.perf_counter() - t0)
+            float(losses[-1])
+            per_call.append(time.perf_counter() - t0)
+        best = per_call.index(min(per_call))
+        dur = per_call[best]
+        enqueue_s = enqueue_per[best]
+        n_steps = scan
         samples_per_s = batch * n_steps / dur
         print(json.dumps({
             "metric": "trimodal_train_samples_per_sec_per_chip",
@@ -205,6 +217,7 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
             "steps_per_call": scan,
             "step_ms": round(1000 * dur / n_steps, 2),
             "enqueue_ms_per_step": round(1000 * enqueue_s / n_steps, 2),
+            "dispatch_s": [round(t, 2) for t in per_call],
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),
             "baseline_note": (
@@ -377,6 +390,10 @@ if __name__ == "__main__":
         #   bench.py --train --host-crop --batch 64 --scan 384 \
         #            --remat-policy dots --rbg --same-batch
         sys.argv += ["--train", "--host-crop", "--rbg", "--same-batch"]
+        if "--dispatches" not in sys.argv:
+            # 3 timed dispatches, best-of (the tunnel's per-dispatch
+            # overhead D varies 6-20 s run to run)
+            sys.argv += ["--dispatches", "3"]
         main_train(64, scan=384, remat=True, remat_policy="dots",
                    host_crop=True)
         sys.exit(0)

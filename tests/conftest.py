@@ -30,3 +30,25 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", (
     "tests must run on CPU; got " + jax.default_backend()
 )
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_programs():
+    """Free accumulated XLA executables at module boundaries.
+
+    The full suite compiles a few hundred XLA:CPU programs in one process.
+    Past ~185 of them, the next large compile intermittently segfaults
+    inside libgcc's DWARF CFI parser (JIT EH-frame registry walked while
+    corrupt — executables are otherwise freed whenever Python GC happens
+    to run, possibly on a non-main thread concurrent with a compile that
+    is registering new frames). Dropping the jit caches and collecting on
+    the main thread between modules keeps the registry small and makes
+    deallocation happen only at controlled, compile-free points.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
