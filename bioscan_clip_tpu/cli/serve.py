@@ -81,6 +81,9 @@ def build_service(args, out=print):
         max_batch=int(sv.get("max_batch", 256)),
         openclip_norm=bool(getattr(mc, "for_open_clip", False)),
         image_host_parity=bool(sv.get("image_host_parity", True)),
+        # serve.key_precision=int8: per-row-quantized resident keys + fp32
+        # rescore — 4x key capacity (a 5M x 768 database fits one chip)
+        key_precision=str(sv.get("key_precision", "high")),
     )
     keys_path = sv.get("keys")
     if keys_path:

@@ -32,29 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = float("-inf")
 
 
-def _topk_kernel(n_valid_ref, q_ref, k_ref, vals_out, idx_out,
-                 run_vals, run_idx, *, k: int, tile: int,
-                 precision=None):
-    t = pl.program_id(1)  # key-tile index (inner, sequential)
-    n_tiles = pl.num_programs(1)
+def _merge_tile(s, col_idx, n_valid, vals_out, idx_out, run_vals, run_idx,
+                *, k: int, t, n_tiles):
+    """Shared running-top-k maintenance over one (Bq, T) score tile."""
 
     @pl.when(t == 0)
     def _init():
         run_vals[:] = jnp.full_like(run_vals, NEG)
         run_idx[:] = jnp.zeros_like(run_idx)
 
-    q = q_ref[:]  # (Bq, D)
-    kt = k_ref[:]  # (T, D)
-    s = jax.lax.dot_general(
-        q, kt,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # (Bq, T)
-
-    base = t * tile
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-    s = jnp.where(col_idx < n_valid_ref[0], s, NEG)
+    s = jnp.where(col_idx < n_valid, s, NEG)
 
     # candidates: running top-k ++ this tile
     cand_vals = jnp.concatenate([run_vals[:], s], axis=1)  # (Bq, k+T)
@@ -84,6 +71,53 @@ def _topk_kernel(n_valid_ref, q_ref, k_ref, vals_out, idx_out,
     def _emit():
         vals_out[:] = run_vals[:]
         idx_out[:] = run_idx[:]
+
+
+def _topk_kernel(n_valid_ref, q_ref, k_ref, vals_out, idx_out,
+                 run_vals, run_idx, *, k: int, tile: int,
+                 precision=None):
+    t = pl.program_id(1)  # key-tile index (inner, sequential)
+    n_tiles = pl.num_programs(1)
+
+    q = q_ref[:]  # (Bq, D)
+    kt = k_ref[:]  # (T, D)
+    s = jax.lax.dot_general(
+        q, kt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (Bq, T)
+
+    base = t * tile
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+    _merge_tile(s, col_idx, n_valid_ref[0], vals_out, idx_out,
+                run_vals, run_idx, k=k, t=t, n_tiles=n_tiles)
+
+
+def _topk_i8_kernel(n_valid_ref, q_ref, qs_ref, k_ref, ks_ref, vals_out,
+                    idx_out, run_vals, run_idx, *, k: int, tile: int):
+    """int8-quantized scores: q/k rows are symmetric per-row int8 with f32
+    scales. The int8 values are cast to bf16 in VMEM — MXU bf16 x bf16
+    multiplies are exact for 8-bit-significand integers and the f32
+    accumulator is exact up to 2^24 (D=768 terms of <= 127*127 sums to
+    < 2^24), so the tile dot reproduces the int32 integer product EXACTLY
+    while reading 4x fewer HBM bytes than fp32 keys."""
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    q = q_ref[:].astype(jnp.bfloat16)  # (Bq, D) int8 values
+    kt = k_ref[:].astype(jnp.bfloat16)  # (T, D)
+    s = jax.lax.dot_general(
+        q, kt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Bq, T) exact integer products
+    s = s * qs_ref[:] * ks_ref[:].reshape(1, -1)  # (Bq,1) * (1,T) scales
+
+    base = t * tile
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+    _merge_tile(s, col_idx, n_valid_ref[0], vals_out, idx_out,
+                run_vals, run_idx, k=k, t=t, n_tiles=n_tiles)
 
 
 @functools.partial(
@@ -149,6 +183,74 @@ def pallas_topk(queries, keys, n_valid, k: int = 5, tile: int = 512,
         interpret=interpret,
     )(jnp.asarray([n_valid], jnp.int32), queries, keys)
     return vals, idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile", "q_block", "interpret"),
+)
+def pallas_topk_i8(q_i8, q_scales, keys_i8, k_scales, n_valid, k: int = 5,
+                   tile: int = 512, q_block: int = 256,
+                   interpret: bool = False):
+    """Top-k over int8-quantized rows (symmetric per-row scales).
+
+    q_i8: (Bq, D) int8; q_scales: (Bq, 1) f32; keys_i8: (N, D) int8;
+    k_scales: (1, N) f32. Scores are EXACT integer dot products times the
+    two scales (see _topk_i8_kernel) — the approximation is only the
+    row quantization itself, which the engine's fp32 rescore pass absorbs.
+    Shapes/padding contract identical to pallas_topk."""
+    Bq, D = q_i8.shape
+    N = keys_i8.shape[0]
+    assert N % tile == 0, f"keys ({N}) must be padded to tile ({tile})"
+    q_block = min(q_block, Bq)
+    assert Bq % q_block == 0, f"queries ({Bq}) must divide q_block ({q_block})"
+    n_tiles = N // tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bq // q_block, n_tiles),
+        in_specs=[
+            pl.BlockSpec((q_block, D), lambda qi, t, nv: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, 1), lambda qi, t, nv: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda qi, t, nv: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda qi, t, nv: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_block, k), lambda qi, t, nv: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, k), lambda qi, t, nv: (qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_block, k), jnp.float32),
+            pltpu.VMEM((q_block, k), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_topk_i8_kernel, k=k, tile=tile)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Bq, k), jnp.float32),
+            jax.ShapeDtypeStruct((Bq, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.int32), q_i8, q_scales, keys_i8, k_scales)
+    return vals, idx
+
+
+def quantize_rows_i8(x):
+    """Symmetric per-row int8 quantization: returns (int8 values,
+    (rows, 1) f32 scales). Zero rows get scale 1 (all-zero codes)."""
+    x = np.asarray(x, dtype=np.float32)
+    scales = np.abs(x).max(axis=1, keepdims=True) / 127.0
+    scales = np.where(scales > 0, scales, 1.0).astype(np.float32)
+    q = np.clip(np.rint(x / scales), -127, 127).astype(np.int8)
+    return q, scales
 
 
 def topk_search_pallas(query_feature, keys_feature, k: int,

@@ -102,11 +102,14 @@ PALLAS_TILE = 512
 Q_BLOCK = 256
 
 
-def _device_budget_keys(d: int, mesh, streaming_halved: bool = False) -> int:
-    """fp32 key rows per device: 37.5% of the device's HBM when it reports
+def _device_budget_keys(d: int, mesh, streaming_halved: bool = False,
+                        bytes_per_elem: int = 4) -> int:
+    """Key rows per device: 37.5% of the device's HBM when it reports
     a limit (leaves room for queries, padding, scores, kernel workspace),
     else ~6 GB (the v5e 16 GB assumption). Halved when double-buffered
-    streaming keeps TWO slabs resident."""
+    streaming keeps TWO slabs resident. `bytes_per_elem`: 4 for fp32 keys,
+    1 for int8-quantized keys (4x the resident capacity — BIOSCAN-5M's
+    5M x 768 key set fits one 16 GB chip entirely)."""
     budget_bytes = 6e9
     try:
         dev = mesh.devices.flat[0] if mesh is not None else jax.devices()[0]
@@ -120,7 +123,7 @@ def _device_budget_keys(d: int, mesh, streaming_halved: bool = False) -> int:
     n_dev = 1
     if mesh is not None:
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    return int(budget_bytes / (4 * d)) * n_dev
+    return int(budget_bytes / (bytes_per_elem * d)) * n_dev
 
 
 class PreparedKeys:
@@ -128,7 +131,18 @@ class PreparedKeys:
     device/kernel layout and uploaded (device-resident case), or held on
     host for slab streaming (> HBM case). Reusing a PreparedKeys across an
     eval sweep's 5 query types skips 4 of the 5 multi-GB uploads
-    (VERDICT r2 weak #4)."""
+    (VERDICT r2 weak #4).
+
+    `precision="int8"`: keys are stored device-resident as symmetric
+    per-row int8 codes + f32 scales — 4x the resident capacity (the
+    BIOSCAN-5M 5M x 768 key set drops from 15.4 GB fp32, which must be
+    host-streamed in slabs, to 3.8 GB fully resident on a 16 GB chip) and
+    4x less HBM read per search. The kernel's tile scores are EXACT integer
+    dot products times the scales (ops/topk_pallas.py `_topk_i8_kernel`);
+    candidates are oversampled and re-scored in fp32 against the host key
+    matrix, so the final top-k is exact whenever the true k-th neighbor
+    survives quantized ranking into the oversampled pool
+    (tests/test_int8_retrieval.py bounds the recall)."""
 
     def __init__(self, keys, mesh=None, key_chunk: int = 65536,
                  use_pallas: Optional[bool] = None,
@@ -140,20 +154,30 @@ class PreparedKeys:
         self.n_keys, self.d = ks.shape
         self.mesh = mesh
         self.precision = precision
+        self.int8 = precision == "int8"
         self.n_dev = 1
         if mesh is not None:
             self.n_dev = int(
                 np.prod([mesh.shape[a] for a in mesh.axis_names])
             )
+        if self.int8 and self.n_dev > 1:
+            raise ValueError(
+                "precision='int8' currently supports single-device "
+                "searches (the 5M-resident use case); use precision="
+                "'high'/'default' with a mesh"
+            )
         self.streaming = False
         self.host_keys = None
         self.max_device_keys = max_device_keys
+        bpe = 1 if self.int8 else 4
         if max_device_keys is None:
-            resident_budget = _device_budget_keys(self.d, mesh)
+            resident_budget = _device_budget_keys(
+                self.d, mesh, bytes_per_elem=bpe
+            )
             if self.n_keys > resident_budget:
                 # double-buffered streaming keeps 2 slabs resident
                 self.max_device_keys = _device_budget_keys(
-                    self.d, mesh, streaming_halved=True
+                    self.d, mesh, streaming_halved=True, bytes_per_elem=bpe
                 )
             else:
                 self.max_device_keys = resident_budget
@@ -162,6 +186,24 @@ class PreparedKeys:
             self.host_keys = ks
             self.use_pallas = use_pallas
             self.key_chunk = key_chunk
+            return
+
+        if self.int8:
+            from bioscan_clip_tpu.ops.topk_pallas import quantize_rows_i8
+
+            # int8 search runs through the Pallas kernel (interpreted
+            # off-TPU); exact rescore needs the fp32 rows on host
+            self.use_pallas = True
+            self.host_keys = ks
+            self.shard_pad = _round_up(self.n_keys, PALLAS_TILE)
+            self.key_chunk = key_chunk
+            codes, scales = quantize_rows_i8(ks)
+            codes_p = np.zeros((self.shard_pad, self.d), np.int8)
+            codes_p[: self.n_keys] = codes
+            scales_p = np.ones((1, self.shard_pad), np.float32)
+            scales_p[0, : self.n_keys] = scales[:, 0]
+            self.keys_dev = jnp.asarray(codes_p)
+            self.key_scales_dev = jnp.asarray(scales_p)
             return
 
         if use_pallas is None:
@@ -244,6 +286,40 @@ def _search_prepared(q, pk: PreparedKeys, k_eff: int, query_chunk: int,
     n_keys, n_dev, precision = pk.n_keys, pk.n_dev, pk.precision
     use_pallas, key_chunk = pk.use_pallas, pk.key_chunk
 
+    if pk.int8:
+        from bioscan_clip_tpu.ops.topk_pallas import (
+            pallas_topk_i8,
+            quantize_rows_i8,
+        )
+
+        # the int8 path is kernel-only: interpret it off-TPU (CPU tests /
+        # CPU serving) like ops/attention does
+        _interpret = _interpret or jax.default_backend() != "tpu"
+        q_i8, q_sc = quantize_rows_i8(q)
+        query_chunk = min(query_chunk, 1024)
+        sims = np.empty((q.shape[0], k_eff), np.float32)
+        idxs = np.empty((q.shape[0], k_eff), np.int64)
+        for s in range(0, q.shape[0], query_chunk):
+            qc, sc = q_i8[s : s + query_chunk], q_sc[s : s + query_chunk]
+            nb = qc.shape[0]
+            qb = min(Q_BLOCK, nb)
+            pad = (-nb) % qb
+            if pad:
+                qc = np.concatenate(
+                    [qc, np.zeros((pad, pk.d), np.int8)], axis=0
+                )
+                sc = np.concatenate(
+                    [sc, np.ones((pad, 1), np.float32)], axis=0
+                )
+            v, i = pallas_topk_i8(
+                jnp.asarray(qc), jnp.asarray(sc), pk.keys_dev,
+                pk.key_scales_dev, n_keys, k=k_eff, tile=PALLAS_TILE,
+                q_block=qb, interpret=_interpret,
+            )
+            sims[s : s + nb] = np.asarray(v)[:nb]
+            idxs[s : s + nb] = np.asarray(i, dtype=np.int64)[:nb]
+        return sims, idxs
+
     if use_pallas and n_dev == 1:
         # direct kernel calls against the resident padded keys (no re-pad,
         # no re-upload — that is the whole point of PreparedKeys)
@@ -305,6 +381,18 @@ def _search_prepared(q, pk: PreparedKeys, k_eff: int, query_chunk: int,
     return sims_out, idx_out
 
 
+def _rescore_exact(q, host_keys, idxs, k: int):
+    """fp32 rescore of oversampled int8 candidates: exact inner products
+    against the host key rows, stable re-sort, truncate to k."""
+    cand = host_keys[idxs]  # (B, ko, D) fp32 gather
+    sims = np.einsum("bd,bkd->bk", q, cand)
+    sel = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    return (
+        np.take_along_axis(sims, sel, axis=1),
+        np.take_along_axis(idxs, sel, axis=1),
+    )
+
+
 def topk_search(
     query_feature,
     keys_feature,
@@ -355,9 +443,18 @@ def topk_search(
             normalized=True,  # historical topk_search contract: as-is
         )
     k_eff = min(k, pk.n_keys)
+    int8 = pk.precision == "int8"
+    # int8: oversample the quantized ranking, then rescore exactly in fp32
+    k_search = (
+        min(pk.n_keys, max(4 * k_eff, k_eff + 16)) if int8 else k_eff
+    )
 
     if not pk.streaming:
-        return _search_prepared(q, pk, k_eff, query_chunk, _interpret)
+        vals, idxs = _search_prepared(q, pk, k_search, query_chunk,
+                                      _interpret)
+        if int8:
+            vals, idxs = _rescore_exact(q, pk.host_keys, idxs, k_eff)
+        return vals, idxs
 
     # host-streamed slabs with double buffering: prepare (pad + async
     # device_put) slab i+1 while slab i is being searched
@@ -380,8 +477,11 @@ def topk_search(
         cur = nxt
         if j + 1 < len(bounds):
             nxt = _prep(bounds[j + 1])  # upload overlaps the search below
+        # int8 slabs: cur._search_prepared returns quantized-ranking
+        # candidates; oversample per slab (k_search), rescore ONCE globally
+        # after the merge
         v, i = _search_prepared(
-            q, cur, min(k_eff, stop - start), query_chunk, _interpret
+            q, cur, min(k_search, stop - start), query_chunk, _interpret
         )
         del cur
         i = i.astype(np.int64) + start
@@ -390,9 +490,11 @@ def topk_search(
         else:  # exact host merge of two sorted top-k lists
             cat_v = np.concatenate([best_v, v], axis=1)
             cat_i = np.concatenate([best_i, i], axis=1)
-            sel = np.argsort(-cat_v, axis=1, kind="stable")[:, :k_eff]
+            sel = np.argsort(-cat_v, axis=1, kind="stable")[:, :k_search]
             best_v = np.take_along_axis(cat_v, sel, axis=1)
             best_i = np.take_along_axis(cat_i, sel, axis=1)
+    if int8:
+        best_v, best_i = _rescore_exact(q, pk.host_keys, best_i, k_eff)
     return best_v, best_i
 
 

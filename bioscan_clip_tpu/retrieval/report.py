@@ -127,6 +127,18 @@ def inference_and_print_result(
     prepared_keys = {}  # key type -> PreparedKeys (one upload per key set)
     k_list = k_list or [1, 3, 5]
     max_k = k_list[-1]
+    # inference_and_eval_setting.retrieval_precision=int8: resident
+    # quantized keys + fp32 rescore (4x capacity — the 5M-key sweep stays
+    # on-chip instead of slab-streaming); "high" = fp32-faithful default
+    precision = "high"
+    if args is not None:
+        ies = getattr(args, "inference_and_eval_setting", None)
+        if ies is not None and hasattr(ies, "retrieval_precision"):
+            precision = str(ies.retrieval_precision)
+    if precision == "int8" and mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        if n_dev > 1:
+            precision = "high"  # int8 is single-device; stay exact
 
     seen_gt = seen_dict["label_list"]
     unseen_gt = unseen_dict["label_list"]
@@ -164,7 +176,9 @@ def inference_and_print_result(
             # per combination — at 5M-key scale that skips ~9/10 multi-GB
             # transfers
             if kt not in prepared_keys:
-                prepared_keys[kt] = PreparedKeys(kf, mesh=mesh)
+                prepared_keys[kt] = PreparedKeys(
+                    kf, mesh=mesh, precision=precision
+                )
             pk = prepared_keys[kt]
 
             seen_pred = make_prediction(qs, pk, keys_label, max_k=max_k, mesh=mesh)

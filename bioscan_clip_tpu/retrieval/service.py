@@ -47,12 +47,18 @@ class RetrievalService:
 
     def __init__(self, model, params, keys=None, key_labels=None,
                  mesh=None, max_k: int = 5, max_batch: int = 256,
-                 openclip_norm: bool = False, image_host_parity: bool = True):
+                 openclip_norm: bool = False, image_host_parity: bool = True,
+                 key_precision: str = "high"):
         self.model = model
         self.mesh = mesh
         self.max_k = max_k
         self.max_batch = max_batch
         self.openclip_norm = openclip_norm
+        # "high": fp32-faithful resident keys. "int8": per-row-quantized
+        # resident keys + fp32 rescore — 4x the resident key capacity (the
+        # full 5M x 768 BIOSCAN-5M database fits one 16 GB chip), single-
+        # device meshes only (retrieval/engine.py PreparedKeys).
+        self.key_precision = key_precision
         # True: bit-faithful torchvision host eval preprocessing (matches
         # offline extraction exactly; ~23 ms/image of host work). False:
         # cheap cv2 resize+crop on host, antialias resize on DEVICE inside
@@ -78,7 +84,9 @@ class RetrievalService:
             raise ValueError(
                 "key_labels must provide one label dict per key row"
             )
-        self.prepared = PreparedKeys(keys, mesh=self.mesh)
+        self.prepared = PreparedKeys(
+            keys, mesh=self.mesh, precision=self.key_precision
+        )
         self.key_labels = list(key_labels)
 
     @classmethod

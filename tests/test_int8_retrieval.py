@@ -1,0 +1,132 @@
+"""int8-quantized retrieval: Pallas int8 kernel + oversample/fp32-rescore.
+
+The int8 mode stores keys as symmetric per-row int8 codes + f32 scales
+(4x resident capacity — the BIOSCAN-5M key set fits one chip), searches an
+oversampled candidate pool with EXACT integer tile dots (bf16 multiplies of
+8-bit-significand integers, f32 accumulation), and rescores candidates in
+fp32 against the host key matrix. Kernel runs interpreted on CPU.
+"""
+
+import numpy as np
+import pytest
+
+from bioscan_clip_tpu.ops.topk_pallas import (
+    pallas_topk_i8,
+    quantize_rows_i8,
+)
+from bioscan_clip_tpu.retrieval.engine import (
+    PreparedKeys,
+    l2norm_np,
+    topk_search,
+)
+
+
+def _brute(q, ks, k):
+    sims = q @ ks.T
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(sims, idx, axis=1), idx
+
+
+def test_quantize_rows_roundtrip_bound():
+    rng = np.random.default_rng(0)
+    x = l2norm_np(rng.standard_normal((64, 96)).astype(np.float32))
+    codes, scales = quantize_rows_i8(x)
+    assert codes.dtype == np.int8 and scales.shape == (64, 1)
+    deq = codes.astype(np.float32) * scales
+    # symmetric per-row: |err| <= scale/2 = max|row|/254 per element
+    assert (np.abs(deq - x) <= scales / 2 + 1e-7).all()
+    # zero rows: scale 1, all-zero codes
+    z, zs = quantize_rows_i8(np.zeros((2, 8), np.float32))
+    assert (z == 0).all() and (zs == 1.0).all()
+
+
+def test_i8_kernel_scores_are_exact_integer_products():
+    """The kernel's tile dot must equal the int32 integer matmul exactly
+    (bf16 multiplies of int8 values + f32 accumulation are exact)."""
+    rng = np.random.default_rng(1)
+    q = l2norm_np(rng.standard_normal((8, 128)).astype(np.float32))
+    ks = l2norm_np(rng.standard_normal((256, 128)).astype(np.float32))
+    q8, qs = quantize_rows_i8(q)
+    k8, ksc = quantize_rows_i8(ks)
+    vals, idx = pallas_topk_i8(
+        q8, qs, k8, ksc.T.copy(), 256, k=5, tile=128, q_block=8,
+        interpret=True,
+    )
+    ref = (
+        q8.astype(np.int32) @ k8.astype(np.int32).T
+    ).astype(np.float32) * qs * ksc.T
+    ref_sims = np.sort(ref, axis=1)[:, ::-1][:, :5]
+    np.testing.assert_allclose(np.asarray(vals), ref_sims, rtol=0, atol=0)
+    picked = np.take_along_axis(ref, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(np.asarray(vals), picked, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("n_keys", [400, 2048])
+def test_int8_topk_search_recall_and_exact_scores(n_keys):
+    rng = np.random.default_rng(2)
+    q = l2norm_np(rng.standard_normal((48, 64)).astype(np.float32))
+    ks = l2norm_np(rng.standard_normal((n_keys, 64)).astype(np.float32))
+    sims, idx = topk_search(q, ks, 5, precision="int8", _interpret=True)
+    bs, bi = _brute(q, ks, 5)
+    # returned scores are fp32 rescored -> exact for the returned indices
+    re = np.take_along_axis(q @ ks.T, idx.astype(np.int64), axis=1)
+    np.testing.assert_allclose(sims, re, atol=1e-6)
+    # recall@5 vs exact: oversample+rescore absorbs quantization ranking
+    hits = sum(
+        len(set(idx[i]) & set(bi[i])) for i in range(q.shape[0])
+    )
+    recall = hits / (q.shape[0] * 5)
+    assert recall >= 0.99, recall
+    # top-1 must be exact (the margin survives int8 easily on random data)
+    np.testing.assert_array_equal(idx[:, 0], bi[:, 0])
+
+
+def test_int8_streaming_slabs_merge_then_rescore():
+    rng = np.random.default_rng(3)
+    q = l2norm_np(rng.standard_normal((16, 32)).astype(np.float32))
+    ks = l2norm_np(rng.standard_normal((3000, 32)).astype(np.float32))
+    sims, idx = topk_search(
+        q, ks, 5, precision="int8", max_device_keys=1024, _interpret=True
+    )
+    full_s, full_i = topk_search(
+        q, ks, 5, precision="int8", _interpret=True
+    )
+    np.testing.assert_array_equal(idx, full_i)
+    np.testing.assert_allclose(sims, full_s, atol=1e-6)
+
+
+def test_int8_prepared_keys_reuse_and_capacity():
+    rng = np.random.default_rng(4)
+    ks = l2norm_np(rng.standard_normal((600, 32)).astype(np.float32))
+    pk = PreparedKeys(ks, precision="int8", normalized=True)
+    assert pk.int8 and pk.keys_dev.dtype == np.int8
+    assert pk.host_keys is not None  # kept for the fp32 rescore
+    q = l2norm_np(rng.standard_normal((8, 32)).astype(np.float32))
+    s1, i1 = topk_search(q, pk, 3, _interpret=True)
+    s2, i2 = topk_search(q, pk, 3, _interpret=True)  # resident reuse
+    np.testing.assert_array_equal(i1, i2)
+    bs, bi = _brute(q, ks, 3)
+    np.testing.assert_array_equal(i1[:, 0], bi[:, 0])
+
+
+def test_int8_k_equals_n_keys():
+    rng = np.random.default_rng(5)
+    q = l2norm_np(rng.standard_normal((4, 16)).astype(np.float32))
+    ks = l2norm_np(rng.standard_normal((7, 16)).astype(np.float32))
+    sims, idx = topk_search(q, ks, 7, precision="int8", _interpret=True)
+    # all keys returned -> rescore makes this exactly the sorted brute force
+    bs, bi = _brute(q, ks, 7)
+    np.testing.assert_array_equal(np.sort(idx, 1), np.sort(bi, 1))
+    np.testing.assert_allclose(np.sort(sims, 1), np.sort(bs, 1), atol=1e-6)
+
+
+def test_int8_mesh_raises():
+    from bioscan_clip_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if n_dev == 1:
+        pytest.skip("needs a multi-device mesh")
+    ks = np.eye(8, dtype=np.float32)
+    with pytest.raises(ValueError, match="int8"):
+        PreparedKeys(ks, mesh=mesh, precision="int8", normalized=True)

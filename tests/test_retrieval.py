@@ -223,6 +223,51 @@ def test_full_sweep_and_reports(tmp_path, monkeypatch):
     assert any("|" in l for l in lines)  # ASCII table printed
 
 
+def test_full_sweep_int8_precision(tmp_path, monkeypatch):
+    """inference_and_eval_setting.retrieval_precision=int8 runs the whole
+    sweep on quantized resident keys and still scores the perfectly
+    separable synthetic data at 100%."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(13)
+    n_cls, per, D = 4, 3, 32
+    protos = l2norm_np(rng.standard_normal((n_cls, D)).astype(np.float32))
+
+    def make_split(n_each):
+        feats, labels = [], []
+        for c in range(n_cls):
+            for _ in range(n_each):
+                feats.append(protos[c] + 0.01 * rng.standard_normal(D))
+                labels.append(
+                    {"order": f"o{c % 2}", "family": f"f{c}",
+                     "genus": f"g{c}", "species": f"s{c}"}
+                )
+        return np.asarray(feats, np.float32), labels
+
+    k_img, k_lab = make_split(per)
+    keys = build_split_dict(
+        image=k_img, dna=None, language=None, label_list=k_lab,
+        for_key_set=True,
+    )
+    s_img, s_lab = make_split(2)
+    seen = build_split_dict(image=s_img, dna=None, language=None,
+                            label_list=s_lab)
+
+    class _IES:
+        retrieval_precision = "int8"
+
+    class _Args:
+        save_inference = False
+        model_config = None
+        inference_and_eval_setting = _IES()
+
+    acc, _, _ = inference_and_print_result(
+        keys, seen, seen, args=_Args(), k_list=[1], out=lambda *_: None
+    )
+    assert acc["encoded_image_feature"]["encoded_image_feature"]["seen"][
+        "micro_acc"
+    ][1]["species"] == pytest.approx(1.0)
+
+
 def test_multi_device_pallas_path_exact():
     """The Pallas fused kernel as the per-shard local search inside
     shard_map (VERDICT r1 item 9): exact vs brute force on the 8-device

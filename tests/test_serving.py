@@ -120,6 +120,28 @@ def test_search_identity_topk():
                        atol=1e-5)
 
 
+def test_search_int8_key_database():
+    """serve.key_precision=int8: quantized resident keys + fp32 rescore
+    answer identically to the fp32 database on well-separated keys."""
+    rng = np.random.default_rng(11)
+    keys = rng.standard_normal((32, D_OUT)).astype(np.float32)
+    labels = [
+        {"order": "o", "family": "f", "genus": "g", "species": f"s{i}"}
+        for i in range(32)
+    ]
+    svc = _tiny_service(with_keys=False)
+    svc.key_precision = "int8"
+    svc.set_keys(keys, labels)
+    assert svc.prepared.int8
+    from bioscan_clip_tpu.retrieval.engine import l2norm_np
+
+    out = svc.search(embeddings=l2norm_np(keys[:5]), k=1)
+    got = [p["species"][0] for p in out["predictions"]]
+    assert got == [f"s{i}" for i in range(5)]
+    assert np.allclose(np.asarray(out["similarities"])[:, 0], 1.0,
+                       atol=1e-5)
+
+
 def test_embed_images_device_eval_path(service):
     """host_parity=False (cv2 crop + device resize) stays close to the
     bit-faithful host path: unit-norm, same shape, high cosine."""

@@ -27,10 +27,16 @@ def main():
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--precision", default="high",
-                    choices=["default", "high", "highest"])
+                    choices=["default", "high", "highest", "int8"],
+                    help="int8: per-row-quantized resident keys (4x "
+                    "capacity; 5M x 768 fits one 16 GB chip) + fp32 "
+                    "rescore of an oversampled candidate pool")
+    ap.add_argument("--prepared", action="store_true",
+                    help="build PreparedKeys outside the timer (resident-"
+                    "DB serving latency, excludes quantize+upload)")
     args = ap.parse_args()
 
-    from bioscan_clip_tpu.retrieval.engine import topk_search
+    from bioscan_clip_tpu.retrieval.engine import PreparedKeys, topk_search
 
     rng = np.random.default_rng(0)
     # generate in slabs to bound peak temp memory during normalization
@@ -47,8 +53,15 @@ def main():
     topk_search(q[:8], ks[: min(args.keys, 1_000_000)], args.k,
                 precision=args.precision)
 
+    prep_s = None
+    target = ks
+    if args.prepared:
+        t0 = time.perf_counter()
+        target = PreparedKeys(ks, precision=args.precision,
+                              normalized=True)
+        prep_s = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    sims, idx = topk_search(q, ks, args.k, precision=args.precision)
+    sims, idx = topk_search(q, target, args.k, precision=args.precision)
     dur = time.perf_counter() - t0
 
     # spot-check exactness on a small query subset
@@ -56,7 +69,9 @@ def main():
     ref = sub @ ks.T
     ref_top = np.sort(ref, axis=1)[:, -args.k:][:, ::-1]
     got = sims[:4]
-    atol = {"default": 5e-2, "high": 2e-3, "highest": 1e-3}[args.precision]
+    # int8 returns fp32-rescored scores -> exact for the recalled indices
+    atol = {"default": 5e-2, "high": 2e-3, "highest": 1e-3,
+            "int8": 1e-4}[args.precision]
     ok = bool(np.allclose(np.sort(got, axis=1)[:, ::-1], ref_top, atol=atol))
 
     flops = 2.0 * args.queries * args.keys * args.dim
@@ -70,6 +85,7 @@ def main():
         "tflops_per_s": round(flops / dur / 1e12, 1),
         "queries_per_s": round(args.queries / dur, 1),
         "precision": args.precision,
+        "prepared_s": prep_s,
         "exact_spot_check": ok,
     }))
 

@@ -26,7 +26,13 @@ run_to() {
   fi
 }
 run_to $TOUT python bench.py --champion --frozen-bf16 --dispatches 5
-run_to $TOUT python bench.py --train --host-crop --batch 48 --scan 512 --remat-policy dots --rbg --same-batch
-run_to $TOUT python bench.py --train --host-crop --batch 32 --scan 768 --remat-policy dots --rbg --same-batch
-run_to $TOUT python bench.py --train --host-crop --batch 64 --scan 384 --remat-policy dots_act --rbg --same-batch --dispatches 3
+run_to $TOUT python bench.py --train --host-crop --batch 48 --scan 512 --remat-policy dots --rbg --same-batch --dispatches 2
+run_to $TOUT python bench.py --train --host-crop --batch 32 --scan 768 --remat-policy dots --rbg --same-batch --dispatches 2
+# LN cost isolation at flagship shapes (trace: LN fusions are the largest
+# non-matmul cluster; decides whether a Pallas LN kernel is worth building)
+run_to $TOUT python tools/smoke_ln_bwd_tpu.py --tpu --batch 64 --n 197 --k 200
+# int8 retrieval: resident 5M x 768 (3.8 GB quantized) vs the fp32 slab
+# streaming path; --prepared isolates search latency from quantize+upload
+run_to $TOUT python tools/bench_retrieval.py --keys 1000000 --precision int8 --prepared
+run_to $TOUT python tools/bench_retrieval.py --keys 5000000 --precision int8 --prepared
 echo '{"queue_u_done": true}' >> $TOUT
