@@ -45,7 +45,9 @@ TARGET = 3.0 * A100_TRIMODAL_EST
 A100_TRAIN_EST = 150.0
 TRAIN_TARGET = 3.0 * A100_TRAIN_EST
 
-BATCH = 256
+# extraction batch ladder (BENCH_EXTRACT_sweep_r03.jsonl, merged LoRA):
+# 256 -> 1671.6/s, 384 -> 1690.5/s, 512 -> 1664.4/s; 384 is the knee
+BATCH = 384
 STEPS = 20
 
 
