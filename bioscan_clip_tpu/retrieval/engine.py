@@ -430,7 +430,11 @@ def topk_search(
     `precision`: score-matmul precision on TPU. "high" (default, bf16x3)
     is fp32-faithful like the FAISS IndexFlatIP this engine replaces;
     "default" is single-pass bf16 (~2x faster scores, ~2e-3 score error —
-    fine for throughput benchmarking, can flip near-ties)."""
+    fine for throughput benchmarking, can flip near-ties); "int8" stores
+    keys as per-row-quantized resident codes (4x capacity — 5M x 768 fits
+    one 16 GB chip), ranks an oversampled pool with exact integer tile
+    dots, and re-scores candidates in fp32, so RETURNED scores are exact
+    inner products (single-device meshes)."""
     q = np.asarray(query_feature, dtype=np.float32)
 
     if isinstance(keys_feature, PreparedKeys):
