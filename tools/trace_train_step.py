@@ -94,6 +94,38 @@ def categorize(name):
     return "other"
 
 
+def _self_times(events):
+    """events: [(name, start_ns, dur_ns)]. Events on one xplane line NEST
+    by time interval (a while/fusion parent span contains its children);
+    summing raw durations double-counts every level (the round-3 B=64
+    trace summed to ~3x the true device time). Attribute each event its
+    SELF time: duration minus the time covered by its direct children,
+    via a sweep over the interval containment stack."""
+    evs = sorted(events, key=lambda e: (e[1], -e[2]))
+    stack = []  # (name, start, end, child_cover)
+    out = []
+
+    def pop_to(t):
+        while stack and stack[-1][2] <= t:
+            name, s, e, cover = stack.pop()
+            out.append((name, (e - s) - cover))
+            if stack:
+                stack[-1][3] += e - s  # this whole span is the parent's child time
+
+    for name, s, d in evs:
+        e = s + d
+        pop_to(s)
+        # close any stack frames this event does not nest into
+        while stack and stack[-1][2] < e:
+            n2, s2, e2, cover = stack.pop()
+            out.append((n2, (e2 - s2) - cover))
+            if stack:
+                stack[-1][3] += e2 - s2
+        stack.append([name, s, e, 0])
+    pop_to(float("inf"))
+    return [(n, max(0.0, t) / 1e6) for n, t in out]  # ms
+
+
 def aggregate(trace_dir):
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
@@ -101,11 +133,9 @@ def aggregate(trace_dir):
     if not paths:
         return None
     data = jax.profiler.ProfileData.from_file(paths[0])
-    # Per-(plane, line) totals first: device traces nest (XLA Modules line
-    # holds the jit + while spans, XLA Ops the leaf ops) and summing across
-    # lines double-counts. Aggregate op categories ONLY from the flat leaf
-    # line — the one whose events' summed duration best matches its span
-    # without nesting ("XLA Ops" on TPU, the PjRt client line on CPU).
+    # Aggregate op categories ONLY from the flat leaf line ("XLA Ops" on
+    # TPU, the PjRt client line on CPU), with per-event SELF time so
+    # nested while/fusion parents don't double-count their children.
     planes = list(data.planes)
     dev_planes = [p for p in planes
                   if "TPU" in p.name or "/device:" in p.name]
@@ -118,12 +148,13 @@ def aggregate(trace_dir):
             # XLA ops — never candidates for the leaf-op line
             if lname.lower().startswith(("python", "framework")):
                 continue
-            evs = [(ev.name, ev.duration_ns / 1e6) for ev in line.events
+            evs = [(ev.name, ev.start_ns, ev.duration_ns)
+                   for ev in line.events
                    if not ev.name.startswith(("$", "end:", "PjitFunction",
                                               "Thread", "Python"))]
             if not evs:
                 continue
-            total = sum(d for _, d in evs)
+            total = sum(d for _, _, d in evs) / 1e6
             line_totals[f"{plane.name} :: {lname}"] = round(total, 2)
             is_leaf = ("ops" in lname.lower()
                        or "client" in lname.lower())
@@ -133,7 +164,7 @@ def aggregate(trace_dir):
     per_op = collections.Counter()
     per_cat = collections.Counter()
     leaf_total = 0.0
-    for name, dur_ms in (best[1] if best else []):
+    for name, dur_ms in _self_times(best[1]) if best else []:
         per_op[name] += dur_ms
         per_cat[categorize(name)] += dur_ms
         leaf_total += dur_ms
