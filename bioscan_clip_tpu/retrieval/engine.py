@@ -302,7 +302,9 @@ def _search_prepared(q, pk: PreparedKeys, k_eff: int, query_chunk: int,
         for s in range(0, q.shape[0], query_chunk):
             qc, sc = q_i8[s : s + query_chunk], q_sc[s : s + query_chunk]
             nb = qc.shape[0]
-            qb = min(Q_BLOCK, nb)
+            # int8 VMEM tiles are (32, 128): the query block must be a
+            # 32-row multiple on real hardware
+            qb = min(Q_BLOCK, _round_up(nb, 32))
             pad = (-nb) % qb
             if pad:
                 qc = np.concatenate(
