@@ -118,8 +118,20 @@ def main():
         y, _ = lax.scan(body, x, None, length=K)
         return y
 
+    @jax.jit
+    def elementwise_k(x):
+        # HBM-bandwidth floor reference: one read + one write per iter,
+        # no reductions. If LN dx ~= this, it is already at the machine
+        # floor and a custom kernel cannot win.
+        def body(c, _):
+            return c * jnp.bfloat16(1.0001) + jnp.bfloat16(1e-7), None
+        y, _ = lax.scan(body, x, None, length=K)
+        return y
+
     res = [
+        timed(elementwise_k, (x,), K, "elementwise_floor"),
         timed(fwd_k, (x,), K, "ln_forward_only"),
+        timed(fwd_k, (x,), K, "ln_forward_only_repeat"),
         timed(auto_k, (x,), K, "autodiff_dx"),
         timed(manual_k, (x,), K, "manual_dx"),
     ]
