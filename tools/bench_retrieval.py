@@ -19,6 +19,13 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import numpy as np
 
+try:  # persistent XLA compilation cache (tunnel compiles are 20s-30min)
+    from bioscan_clip_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+except Exception:
+    pass
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -49,9 +56,10 @@ def main():
     q = rng.standard_normal((args.queries, args.dim)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
 
-    # warm (compiles the kernel at slab shape)
-    topk_search(q[:8], ks[: min(args.keys, 1_000_000)], args.k,
-                precision=args.precision)
+    if not args.prepared:
+        # warm (compiles the kernel at slab shape)
+        topk_search(q[:8], ks[: min(args.keys, 1_000_000)], args.k,
+                    precision=args.precision)
 
     prep_s = None
     target = ks
