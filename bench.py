@@ -133,7 +133,26 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
 
         same_batch = "--same-batch" in sys.argv
         flat_scan = "--flat-scan" in sys.argv
-        if flat_scan:
+        gradcache = (
+            int(sys.argv[sys.argv.index("--gradcache") + 1])
+            if "--gradcache" in sys.argv
+            else 0
+        )
+        if gradcache:
+            # The flagship single-chip recipe: global batch `batch` as
+            # `gradcache` microbatches with FULL-batch InfoNCE negatives
+            # (make_gradcache_train_step), K macro-steps per dispatch.
+            # E.g. the reference's batch-400 config on one 16 GB chip:
+            #   bench.py --train --batch 400 --gradcache 8 --scan 8 ...
+            from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+            from bioscan_clip_tpu.train.state import create_train_state
+
+            state = create_train_state(model, params, lambda s: 1e-3)
+            kstep = make_gradcache_train_step(
+                model, mesh, accum_steps=gradcache, steps_per_call=scan,
+                same_batch=same_batch,
+            )
+        elif flat_scan:
             # tiny donated carry (flat LoRA vector + AdamW state); the
             # frozen tree is a cached standing arg — through the tunnel
             # this removes the ~19 s/call donated-state round trip
@@ -206,7 +225,8 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
             "vs_baseline": round(samples_per_s / TRAIN_TARGET, 3),
             "vs_a100_estimate": round(samples_per_s / A100_TRAIN_EST, 2),
             "batch": batch,
-            "variant": "scan",
+            "variant": "gradcache" if gradcache else "scan",
+            "accum_steps": gradcache,
             "remat": remat,
             "remat_policy": remat_policy,
             "host_crop": host_crop,

@@ -381,6 +381,7 @@ def make_gradcache_train_step(
     model, mesh, accum_steps: int, logit_scale: float = LOGIT_SCALE,
     openclip_norm: bool = False, disable_lora: bool = False,
     color_jitter: bool = False, steps_per_call: int = 1,
+    same_batch: bool = False,
 ):
     """Gradient accumulation with FULL-batch InfoNCE negatives (GradCache,
     Gao et al. 2021) — the reference's batch-400 ClipLoss semantics
@@ -539,12 +540,21 @@ def make_gradcache_train_step(
     # one full gradcache step — composes the batch-400 single-chip recipe
     # with the per-dispatch-overhead amortization of make_scan_train_step
     # (`tpu.steps_per_call` x `tpu.accum_steps` in the CLI). The stacked
-    # input is (K, B, ...) like make_scan_train_step's.
+    # input is (K, B, ...) like make_scan_train_step's; `same_batch=True`
+    # scans ONE (B, ...) batch K times (xs=None loop constant) — same
+    # per-macro-step compute/optimizer semantics (the dropout/aug stream
+    # still advances via fold_in(rng, state.step)), for synthetic
+    # benchmarking where the K-scaled input stack must be excluded.
     @jit_wrap
     def train_steps(state, batches, rng):
         def body(st, b):
             return macro_step(st, b, rng)
 
+        if same_batch:
+            return jax.lax.scan(
+                lambda st, _: body(st, batches), state, None,
+                length=steps_per_call,
+            )
         return jax.lax.scan(body, state, batches, length=steps_per_call)
 
     return train_steps

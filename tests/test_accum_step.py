@@ -126,3 +126,42 @@ def test_scan_gradcache_matches_sequential_gradcache():
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
         )
     assert int(s2.step) == K
+
+
+def test_same_batch_scan_gradcache_matches_stacked():
+    """same_batch GradCache scan (xs=None loop constant) == the stacked
+    (K, B, ...) scan fed K copies of the one batch — the synthetic-bench
+    form used by `bench.py --train --gradcache A --scan K --same-batch`."""
+    from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
+    from bioscan_clip_tpu.train.loop import (
+        make_gradcache_train_step,
+        stack_batches,
+    )
+
+    model = _tiny_model()
+    mesh = create_mesh(devices=jax.devices()[:2])
+    K = 3
+    b = _batch(16, seed=11)
+    rng = jax.random.PRNGKey(9)
+
+    s1 = _init_state(model)
+    gck = make_gradcache_train_step(
+        model, mesh, accum_steps=4, steps_per_call=K
+    )
+    stacked = shard_stacked_batches(stack_batches([b] * K), mesh)
+    s1, losses_stacked = gck(s1, stacked, rng)
+
+    s2 = _init_state(model)
+    gcs = make_gradcache_train_step(
+        model, mesh, accum_steps=4, steps_per_call=K, same_batch=True
+    )
+    s2, losses_same = gcs(s2, shard_batch(b, mesh), rng)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_same), np.asarray(losses_stacked), rtol=1e-5
+    )
+    for a, c in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=1e-6, rtol=1e-5
+        )
+    assert int(s2.step) == K
