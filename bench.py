@@ -406,21 +406,22 @@ def main(batch: int = BATCH):
 
 if __name__ == "__main__":
     if "--champion" in sys.argv:
-        # The measured-best train config (BENCH_TRAIN_r03.json):
-        # B=64, K=384 steps/dispatch, dots remat, rbg PRNG, host crop,
-        # bf16 frozen-weight storage, resident same_batch scan. Equivalent:
-        #   bench.py --train --host-crop --batch 64 --scan 384 \
+        # The measured-best train config (BENCH_TRAIN_sweep_r03.jsonl,
+        # queue-w): B=24, K=1024 steps/dispatch, dots remat, rbg PRNG,
+        # host crop, bf16 frozen-weight storage, resident same_batch scan
+        # -> 604.6 samples/s (39.69 ms/step = 1.65 ms/sample). Equivalent:
+        #   bench.py --train --host-crop --batch 24 --scan 1024 \
         #            --remat-policy dots --rbg --same-batch --frozen-bf16
         sys.argv += ["--train", "--host-crop", "--rbg", "--same-batch"]
         if "--no-frozen-bf16" not in sys.argv:
-            # bit-identical under bf16 compute; measured 128.2 vs
-            # 129.5 ms/step and halves the donated-state footprint
+            # bit-identical under bf16 compute; measured A/B win and
+            # halves the donated-state footprint
             sys.argv += ["--frozen-bf16"]
         if "--dispatches" not in sys.argv:
             # 3 timed dispatches, best-of (the tunnel's per-dispatch
             # overhead D varies 6-20 s run to run)
             sys.argv += ["--dispatches", "3"]
-        main_train(64, scan=384, remat=True, remat_policy="dots",
+        main_train(24, scan=1024, remat=True, remat_policy="dots",
                    host_crop=True)
         sys.exit(0)
     if "--train" in sys.argv:
