@@ -6,15 +6,22 @@ kernel fuses the MXU matmul with the top-k maintenance entirely in VMEM:
 
   grid = (num_key_tiles,)  -- sequential on TPU, so VMEM scratch carries the
   running (values, indices) top-k across tiles:
-    S = Q @ K_tile.T                       (MXU, f32 accumulate)
-    C = concat([running_vals, S], axis=1)  (Bq, k + T)
-    for j in range(k):                     (k iterative max-extractions)
-        m, a = max/argmax over lanes       (VPU reductions)
-        record m into new running top-k, mask column a to -inf
+    S = Q @ K_tile.T                          (MXU, f32 accumulate)
+    theta = row-min of the running top-k      (the k-th best so far)
+    flag  = any(S > theta)                    (one VPU pass + scalar)
+    while flag (<= k gated rounds):           (threshold-gated extraction)
+        extract the per-row max of S, insert it into each row's running
+        top-k where it beats that row's theta, mask the column, refresh
+        the flag
 
-k passes over the tile cost k*Bq*T VPU flops vs 2*Bq*T*D MXU flops for the
-matmul — <1% overhead at D=768, so the kernel runs at matmul speed with
-zero HBM traffic for scores.
+The running top-k lives UNSORTED in a lane-aligned (Bq, ceil128(k))
+buffer whose pad lanes are pinned at +inf, so one narrow row-min reads
+theta. For random/real embeddings almost every tile after the first few
+contains nothing above theta, so the merge costs ~2 full-width VPU
+passes per tile instead of k full extraction sweeps — the sweeps
+dominated the kernel once k exceeded ~5 (the int8 path oversamples to
+k~21, which measured ~10x off matmul-bound before this gating). Worst
+case (keys sorted ascending) degrades to the old k-pass cost.
 
 Padding keys are masked by global index >= n_valid (scores -> -inf).
 """
@@ -30,51 +37,91 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = float("-inf")
+POS = float("inf")
+_I32_MAX = 2**31 - 1
+
+
+def _run_lanes(k: int) -> int:
+    """Lane width of the running-top-k scratch: k rounded up to 128."""
+    return max(128, ((k + 127) // 128) * 128)
 
 
 def _merge_tile(s, col_idx, n_valid, vals_out, idx_out, run_vals, run_idx,
-                *, k: int, t, n_tiles):
-    """Shared running-top-k maintenance over one (Bq, T) score tile."""
+                s_scr, flag, *, k: int, t, n_tiles):
+    """Threshold-gated running-top-k maintenance over one (Bq, T) tile.
+
+    `run_vals`/`run_idx` hold the current top-k UNSORTED in lanes < k;
+    lanes >= k are pinned at +inf so a row-min over the whole lane-aligned
+    buffer reads theta (the running k-th best) in one narrow reduction.
+    Each round extracts one per-row max and replaces each improving row's
+    min slot; rounds after the first are skipped via the SMEM flag, so the
+    common no-improvement tile pays ~2 full-width passes total."""
+    lanes = run_vals.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, run_vals.shape, 1)
 
     @pl.when(t == 0)
     def _init():
-        run_vals[:] = jnp.full_like(run_vals, NEG)
+        run_vals[:] = jnp.where(lane < k, NEG, POS)
         run_idx[:] = jnp.zeros_like(run_idx)
 
-    s = jnp.where(col_idx < n_valid, s, NEG)
+    s_scr[:] = jnp.where(col_idx < n_valid, s, NEG)
+    theta = jnp.min(run_vals[:], axis=1, keepdims=True)  # (Bq, 1)
+    flag[0] = jnp.any(s_scr[:] > theta).astype(jnp.int32)
 
-    # candidates: running top-k ++ this tile
-    cand_vals = jnp.concatenate([run_vals[:], s], axis=1)  # (Bq, k+T)
-    cand_idx = jnp.concatenate([run_idx[:], col_idx], axis=1)
+    for _ in range(k):
 
-    new_vals = jnp.zeros_like(run_vals)
-    new_idx = jnp.zeros_like(run_idx)
-    lane = jax.lax.broadcasted_iota(jnp.int32, cand_vals.shape, 1)
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, run_vals.shape, 1)
-    for j in range(k):
-        m = jnp.max(cand_vals, axis=1, keepdims=True)  # (Bq, 1)
-        a = jnp.argmax(cand_vals, axis=1)  # (Bq,)
-        sel = lane == a[:, None]  # one-hot over lanes
-        # gather-free index pick: masked sum over the one-hot selection
-        picked_idx = jnp.sum(
-            jnp.where(sel, cand_idx, 0), axis=1, keepdims=True
-        )  # (Bq, 1)
-        # scatter-free column write: lane-mask select into slot j
-        new_vals = jnp.where(out_lane == j, m, new_vals)
-        new_idx = jnp.where(out_lane == j, picked_idx, new_idx)
-        cand_vals = jnp.where(sel, NEG, cand_vals)  # mask the selected col
-
-    run_vals[:] = new_vals
-    run_idx[:] = new_idx
+        @pl.when(flag[0] != 0)
+        def _round():
+            sc = s_scr[:]
+            rv = run_vals[:]
+            minv = jnp.min(rv, axis=1, keepdims=True)  # theta, per row
+            m = jnp.max(sc, axis=1, keepdims=True)  # per-row tile max
+            # smallest global index attaining the max (ties -> earliest)
+            picked = jnp.min(
+                jnp.where(sc == m, col_idx, _I32_MAX), axis=1, keepdims=True
+            )
+            s_scr[:] = jnp.where(col_idx == picked, NEG, sc)
+            # replace the improving rows' current-min slot
+            pos = jnp.min(
+                jnp.where(rv == minv, lane, lanes), axis=1, keepdims=True
+            )
+            ins = (lane == pos) & (m > minv)
+            run_vals[:] = jnp.where(ins, m, rv)
+            run_idx[:] = jnp.where(ins, picked, run_idx[:])
+            theta2 = jnp.min(run_vals[:], axis=1, keepdims=True)
+            flag[0] = jnp.any(s_scr[:] > theta2).astype(jnp.int32)
 
     @pl.when(t == n_tiles - 1)
     def _emit():
-        vals_out[:] = run_vals[:]
-        idx_out[:] = run_idx[:]
+        # k extraction passes over the narrow 128-lane-aligned buffer,
+        # once per query block: emit values descending (ties: the
+        # smallest buffer lane; equal-value index order is unspecified,
+        # matching the engine's rescore/argsort contract)
+        cand_vals = jnp.where(lane < k, run_vals[:], NEG)
+        cand_idx = run_idx[:]
+        out_lane = jax.lax.broadcasted_iota(
+            jnp.int32, (run_vals.shape[0], k), 1
+        )
+        vals = jnp.zeros((run_vals.shape[0], k), run_vals.dtype)
+        idxs = jnp.zeros((run_vals.shape[0], k), run_idx.dtype)
+        for j in range(k):
+            m = jnp.max(cand_vals, axis=1, keepdims=True)
+            a = jnp.min(
+                jnp.where(cand_vals == m, lane, lanes),
+                axis=1, keepdims=True,
+            )
+            pick_i = jnp.sum(
+                jnp.where(lane == a, cand_idx, 0), axis=1, keepdims=True
+            )
+            vals = jnp.where(out_lane == j, m, vals)
+            idxs = jnp.where(out_lane == j, pick_i, idxs)
+            cand_vals = jnp.where(lane == a, NEG, cand_vals)
+        vals_out[:] = vals
+        idx_out[:] = idxs
 
 
 def _topk_kernel(n_valid_ref, q_ref, k_ref, vals_out, idx_out,
-                 run_vals, run_idx, *, k: int, tile: int,
+                 run_vals, run_idx, s_scr, flag, *, k: int, tile: int,
                  precision=None):
     t = pl.program_id(1)  # key-tile index (inner, sequential)
     n_tiles = pl.num_programs(1)
@@ -91,11 +138,12 @@ def _topk_kernel(n_valid_ref, q_ref, k_ref, vals_out, idx_out,
     base = t * tile
     col_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     _merge_tile(s, col_idx, n_valid_ref[0], vals_out, idx_out,
-                run_vals, run_idx, k=k, t=t, n_tiles=n_tiles)
+                run_vals, run_idx, s_scr, flag, k=k, t=t, n_tiles=n_tiles)
 
 
 def _topk_i8_kernel(n_valid_ref, q_ref, qs_ref, k_ref, ks_ref, vals_out,
-                    idx_out, run_vals, run_idx, *, k: int, tile: int):
+                    idx_out, run_vals, run_idx, s_scr, flag, *, k: int,
+                    tile: int):
     """int8-quantized scores: q/k rows are symmetric per-row int8 with f32
     scales. The int8 values are cast to bf16 in VMEM — MXU bf16 x bf16
     multiplies are exact for 8-bit-significand integers and the f32
@@ -117,7 +165,7 @@ def _topk_i8_kernel(n_valid_ref, q_ref, qs_ref, k_ref, ks_ref, vals_out,
     base = t * tile
     col_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     _merge_tile(s, col_idx, n_valid_ref[0], vals_out, idx_out,
-                run_vals, run_idx, k=k, t=t, n_tiles=n_tiles)
+                run_vals, run_idx, s_scr, flag, k=k, t=t, n_tiles=n_tiles)
 
 
 @functools.partial(
@@ -157,8 +205,10 @@ def pallas_topk(queries, keys, n_valid, k: int = 5, tile: int = 512,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((q_block, k), jnp.float32),
-            pltpu.VMEM((q_block, k), jnp.int32),
+            pltpu.VMEM((q_block, _run_lanes(k)), jnp.float32),
+            pltpu.VMEM((q_block, _run_lanes(k)), jnp.int32),
+            pltpu.VMEM((q_block, tile), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     # score matmul precision: "default" = single-pass bf16 operands
@@ -226,8 +276,10 @@ def pallas_topk_i8(q_i8, q_scales, keys_i8, k_scales, n_valid, k: int = 5,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((q_block, k), jnp.float32),
-            pltpu.VMEM((q_block, k), jnp.int32),
+            pltpu.VMEM((q_block, _run_lanes(k)), jnp.float32),
+            pltpu.VMEM((q_block, _run_lanes(k)), jnp.int32),
+            pltpu.VMEM((q_block, tile), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     kernel = functools.partial(_topk_i8_kernel, k=k, tile=tile)
