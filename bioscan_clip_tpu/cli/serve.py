@@ -81,9 +81,13 @@ def build_service(args, out=print):
         max_batch=int(sv.get("max_batch", 256)),
         openclip_norm=bool(getattr(mc, "for_open_clip", False)),
         image_host_parity=bool(sv.get("image_host_parity", True)),
-        # serve.key_precision=int8: per-row-quantized resident keys + fp32
-        # rescore — 4x key capacity (a 5M x 768 database fits one chip)
+        # serve.key_precision=int8: per-row-quantized resident keys + host
+        # rescore — 4x key capacity (a 5M x 768 database fits one chip).
+        # serve.key_rescore: int8 rescore rows — bfloat16 (default: half
+        # the host RAM, ~1e-3 score error), float32 (exact), none (zero
+        # host copy, quantized ranking).
         key_precision=str(sv.get("key_precision", "high")),
+        key_rescore=str(sv.get("key_rescore", "bfloat16")),
     )
     keys_path = sv.get("keys")
     if keys_path:

@@ -144,6 +144,16 @@ def run(args, max_steps_per_epoch=None, out=print):
         # batch-400 ClipLoss semantics). accum_mode=micro falls back to
         # per-microbatch negatives (reference per-rank ContrastiveLoss).
         mode = str(tpu_cfg.get("accum_mode", "gradcache")) if tpu_cfg else "gradcache"
+        # tpu.gradcache_merged (default true): GradCache's no-grad stage-1
+        # embedding pass runs with the LoRA adapters folded into the
+        # projection kernels (rank-0 towers; merged forward measured +9%,
+        # PERF_NOTES) — stage 3's VJP keeps the adapter form
+        gc_merged = (
+            bool(tpu_cfg.get("gradcache_merged", True)) if tpu_cfg else True
+        )
+        merged_model = None
+        if mode != "micro" and gc_merged and not disable_lora:
+            merged_model = load_clip_model(args, dtype=dtype, lora_rank=0)
         if mode == "micro":
             from bioscan_clip_tpu.train.loop import make_accum_train_step
 
@@ -159,6 +169,7 @@ def run(args, max_steps_per_epoch=None, out=print):
                 model, mesh, accum_steps=accum,
                 openclip_norm=bool(getattr(mc, "for_open_clip", False)),
                 disable_lora=disable_lora, color_jitter=insect_mode,
+                merged_model=merged_model,
             )
     else:
         # INSECT train transform appends ColorJitter(0.5 x4)
@@ -193,6 +204,7 @@ def run(args, max_steps_per_epoch=None, out=print):
                 model, mesh, accum_steps=accum, steps_per_call=k,
                 openclip_norm=bool(getattr(mc, "for_open_clip", False)),
                 disable_lora=disable_lora, color_jitter=insect_mode,
+                merged_model=merged_model,
             )
     else:
         steps_per_call = 1

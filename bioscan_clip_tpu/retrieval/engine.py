@@ -147,7 +147,8 @@ class PreparedKeys:
     def __init__(self, keys, mesh=None, key_chunk: int = 65536,
                  use_pallas: Optional[bool] = None,
                  max_device_keys: Optional[int] = None,
-                 precision: str = "high", normalized: bool = False):
+                 precision: str = "high", normalized: bool = False,
+                 rescore: str = "float32"):
         ks = np.asarray(keys, dtype=np.float32)
         if not normalized:
             ks = l2norm_np(ks)
@@ -155,16 +156,18 @@ class PreparedKeys:
         self.mesh = mesh
         self.precision = precision
         self.int8 = precision == "int8"
+        # int8 host-rescore storage: "float32" (exact scores, 4 B/elem of
+        # host RAM), "bfloat16" (half the host RAM; scores carry the keys'
+        # bf16 representation error ~1e-3 relative, ranking can flip exact
+        # near-ties), "none" (zero host RAM; returned scores/ranking are
+        # the quantized kernel scores — exact integer dots x scales)
+        if rescore not in ("float32", "bfloat16", "none"):
+            raise ValueError(f"unknown rescore mode {rescore!r}")
+        self.rescore = rescore
         self.n_dev = 1
         if mesh is not None:
             self.n_dev = int(
                 np.prod([mesh.shape[a] for a in mesh.axis_names])
-            )
-        if self.int8 and self.n_dev > 1:
-            raise ValueError(
-                "precision='int8' currently supports single-device "
-                "searches (the 5M-resident use case); use precision="
-                "'high'/'default' with a mesh"
             )
         self.streaming = False
         self.host_keys = None
@@ -182,6 +185,8 @@ class PreparedKeys:
             else:
                 self.max_device_keys = resident_budget
         if self.n_keys > self.max_device_keys:
+            # host-streamed slabs: the fp32 rows ARE the stream source, so
+            # they stay resident regardless of the rescore storage mode
             self.streaming = True
             self.host_keys = ks
             self.use_pallas = use_pallas
@@ -192,18 +197,33 @@ class PreparedKeys:
             from bioscan_clip_tpu.ops.topk_pallas import quantize_rows_i8
 
             # int8 search runs through the Pallas kernel (interpreted
-            # off-TPU); exact rescore needs the fp32 rows on host
+            # off-TPU); the rescore pass reads host rows in the configured
+            # storage dtype (float32 exact / bfloat16 half-RAM / none)
             self.use_pallas = True
-            self.host_keys = ks
-            self.shard_pad = _round_up(self.n_keys, PALLAS_TILE)
+            self.host_keys = self._rescore_rows(ks)
+            shard = -(-self.n_keys // self.n_dev)
+            self.shard_pad = _round_up(shard, PALLAS_TILE)
             self.key_chunk = key_chunk
             codes, scales = quantize_rows_i8(ks)
-            codes_p = np.zeros((self.shard_pad, self.d), np.int8)
+            n_pad = self.shard_pad * self.n_dev
+            codes_p = np.zeros((n_pad, self.d), np.int8)
             codes_p[: self.n_keys] = codes
-            scales_p = np.ones((1, self.shard_pad), np.float32)
+            scales_p = np.ones((1, n_pad), np.float32)
             scales_p[0, : self.n_keys] = scales[:, 0]
-            self.keys_dev = jnp.asarray(codes_p)
-            self.key_scales_dev = jnp.asarray(scales_p)
+            if self.n_dev > 1:
+                # codes sharded over key rows, scales over the lane axis —
+                # each device holds its shard's (shard_pad, D) codes +
+                # (1, shard_pad) scales; the sharded searcher merges local
+                # top-ks exactly (same shard_map pattern as fp32 keys)
+                self.keys_dev = jax.device_put(
+                    codes_p, NamedSharding(mesh, P(DATA_AXIS, None))
+                )
+                self.key_scales_dev = jax.device_put(
+                    scales_p, NamedSharding(mesh, P(None, DATA_AXIS))
+                )
+            else:
+                self.keys_dev = jnp.asarray(codes_p)
+                self.key_scales_dev = jnp.asarray(scales_p)
             return
 
         if use_pallas is None:
@@ -230,6 +250,18 @@ class PreparedKeys:
             )
         else:
             self.keys_dev = jnp.asarray(ks_p)
+
+    def _rescore_rows(self, ks):
+        """Host copy the int8 rescore pass reads (see `rescore` in
+        __init__). bfloat16 halves the 5M x 768 host tax from 15.4 GB to
+        7.7 GB; none drops it entirely."""
+        if self.rescore == "none":
+            return None
+        if self.rescore == "bfloat16":
+            import ml_dtypes
+
+            return ks.astype(ml_dtypes.bfloat16)
+        return ks
 
 
 @functools.lru_cache(maxsize=64)
@@ -280,6 +312,43 @@ def _sharded_searcher(mesh, n_keys: int, shard_pad: int, k_eff: int,
     )
 
 
+def _sharded_searcher_i8(mesh, n_keys: int, shard_pad: int, k_eff: int,
+                         _interpret: bool):
+    """Jitted shard_map searcher for multi-device resident int8 keys:
+    per-device local oversampled top-k through the int8 Pallas kernel +
+    all-gathered exact global merge (the fp32 `_sharded_searcher` pattern;
+    the caller's oversample/rescore pass stays unchanged on top)."""
+    from jax import shard_map
+
+    def local(q_i8, q_sc, kk, ksc):
+        from bioscan_clip_tpu.ops.topk_pallas import pallas_topk_i8
+
+        dev = jax.lax.axis_index(DATA_AXIS)
+        n_local_valid = jnp.clip(n_keys - dev * shard_pad, 0, shard_pad)
+        vals, idxs = pallas_topk_i8(
+            q_i8, q_sc, kk, ksc, n_local_valid, k=k_eff, tile=PALLAS_TILE,
+            q_block=min(Q_BLOCK, q_i8.shape[0]), interpret=_interpret,
+        )
+        idxs = idxs + dev * shard_pad
+        vals_g = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        idxs_g = jax.lax.all_gather(idxs, DATA_AXIS, axis=1, tiled=True)
+        best, sel = jax.lax.top_k(vals_g, k_eff)
+        return best, jnp.take_along_axis(idxs_g, sel, axis=1)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS, None), P(None, DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+_sharded_searcher_i8 = functools.lru_cache(maxsize=64)(_sharded_searcher_i8)
+
+
 def _search_prepared(q, pk: PreparedKeys, k_eff: int, query_chunk: int,
                      _interpret: bool):
     """Top-k of q against a device-resident PreparedKeys."""
@@ -295,6 +364,15 @@ def _search_prepared(q, pk: PreparedKeys, k_eff: int, query_chunk: int,
         # the int8 path is kernel-only: interpret it off-TPU (CPU tests /
         # CPU serving) like ops/attention does
         _interpret = _interpret or jax.default_backend() != "tpu"
+        if n_dev > 1:
+            search_i8 = _sharded_searcher_i8(
+                pk.mesh, n_keys, pk.shard_pad, k_eff, _interpret
+            )
+        else:
+            search_i8 = functools.partial(
+                pallas_topk_i8, n_valid=n_keys, k=k_eff, tile=PALLAS_TILE,
+                interpret=_interpret,
+            )
         q_i8, q_sc = quantize_rows_i8(q)
         query_chunk = min(query_chunk, 1024)
         sims = np.empty((q.shape[0], k_eff), np.float32)
@@ -313,11 +391,16 @@ def _search_prepared(q, pk: PreparedKeys, k_eff: int, query_chunk: int,
                 sc = np.concatenate(
                     [sc, np.ones((pad, 1), np.float32)], axis=0
                 )
-            v, i = pallas_topk_i8(
-                jnp.asarray(qc), jnp.asarray(sc), pk.keys_dev,
-                pk.key_scales_dev, n_keys, k=k_eff, tile=PALLAS_TILE,
-                q_block=qb, interpret=_interpret,
-            )
+            if n_dev > 1:
+                v, i = search_i8(
+                    jnp.asarray(qc), jnp.asarray(sc), pk.keys_dev,
+                    pk.key_scales_dev,
+                )
+            else:
+                v, i = search_i8(
+                    jnp.asarray(qc), jnp.asarray(sc), pk.keys_dev,
+                    pk.key_scales_dev, q_block=qb,
+                )
             sims[s : s + nb] = np.asarray(v)[:nb]
             idxs[s : s + nb] = np.asarray(i, dtype=np.int64)[:nb]
         return sims, idxs
@@ -384,9 +467,10 @@ def _search_prepared(q, pk: PreparedKeys, k_eff: int, query_chunk: int,
 
 
 def _rescore_exact(q, host_keys, idxs, k: int):
-    """fp32 rescore of oversampled int8 candidates: exact inner products
-    against the host key rows, stable re-sort, truncate to k."""
-    cand = host_keys[idxs]  # (B, ko, D) fp32 gather
+    """fp32 rescore of oversampled int8 candidates: inner products against
+    the host key rows (upcast from the configured storage dtype), stable
+    re-sort, truncate to k."""
+    cand = np.asarray(host_keys[idxs], dtype=np.float32)  # (B, ko, D)
     sims = np.einsum("bd,bkd->bk", q, cand)
     sel = np.argsort(-sims, axis=1, kind="stable")[:, :k]
     return (
@@ -405,6 +489,7 @@ def topk_search(
     use_pallas: Optional[bool] = None,
     max_device_keys: Optional[int] = None,
     precision: str = "high",
+    rescore: str = "float32",
     _interpret: bool = False,
 ):
     """Exact top-k inner-product search. Returns (similarities, indices) as
@@ -447,18 +532,21 @@ def topk_search(
             key_chunk=key_chunk, use_pallas=use_pallas,
             max_device_keys=max_device_keys, precision=precision,
             normalized=True,  # historical topk_search contract: as-is
+            rescore=rescore,
         )
     k_eff = min(k, pk.n_keys)
     int8 = pk.precision == "int8"
-    # int8: oversample the quantized ranking, then rescore exactly in fp32
+    # int8: oversample the quantized ranking, then rescore against the host
+    # rows (rescore="none" returns the quantized ranking/scores directly)
+    do_rescore = int8 and pk.rescore != "none"
     k_search = (
-        min(pk.n_keys, max(4 * k_eff, k_eff + 16)) if int8 else k_eff
+        min(pk.n_keys, max(4 * k_eff, k_eff + 16)) if do_rescore else k_eff
     )
 
     if not pk.streaming:
         vals, idxs = _search_prepared(q, pk, k_search, query_chunk,
                                       _interpret)
-        if int8:
+        if do_rescore:
             vals, idxs = _rescore_exact(q, pk.host_keys, idxs, k_eff)
         return vals, idxs
 
@@ -474,7 +562,7 @@ def topk_search(
         return PreparedKeys(
             ks[b[0] : b[1]], mesh=pk.mesh, key_chunk=pk.key_chunk,
             use_pallas=pk.use_pallas, max_device_keys=slab,
-            precision=pk.precision, normalized=True,
+            precision=pk.precision, normalized=True, rescore=pk.rescore,
         )
 
     best_v = best_i = None
@@ -499,7 +587,7 @@ def topk_search(
             sel = np.argsort(-cat_v, axis=1, kind="stable")[:, :k_search]
             best_v = np.take_along_axis(cat_v, sel, axis=1)
             best_i = np.take_along_axis(cat_i, sel, axis=1)
-    if int8:
+    if do_rescore:
         best_v, best_i = _rescore_exact(q, pk.host_keys, best_i, k_eff)
     return best_v, best_i
 

@@ -135,10 +135,6 @@ def inference_and_print_result(
         ies = getattr(args, "inference_and_eval_setting", None)
         if ies is not None and hasattr(ies, "retrieval_precision"):
             precision = str(ies.retrieval_precision)
-    if precision == "int8" and mesh is not None:
-        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-        if n_dev > 1:
-            precision = "high"  # int8 is single-device; stay exact
 
     seen_gt = seen_dict["label_list"]
     unseen_gt = unseen_dict["label_list"]

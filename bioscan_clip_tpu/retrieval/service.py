@@ -48,17 +48,24 @@ class RetrievalService:
     def __init__(self, model, params, keys=None, key_labels=None,
                  mesh=None, max_k: int = 5, max_batch: int = 256,
                  openclip_norm: bool = False, image_host_parity: bool = True,
-                 key_precision: str = "high"):
+                 key_precision: str = "high",
+                 key_rescore: str = "bfloat16"):
         self.model = model
         self.mesh = mesh
         self.max_k = max_k
         self.max_batch = max_batch
         self.openclip_norm = openclip_norm
         # "high": fp32-faithful resident keys. "int8": per-row-quantized
-        # resident keys + fp32 rescore — 4x the resident key capacity (the
-        # full 5M x 768 BIOSCAN-5M database fits one 16 GB chip), single-
-        # device meshes only (retrieval/engine.py PreparedKeys).
+        # resident keys + host rescore — 4x the resident key capacity (the
+        # full 5M x 768 BIOSCAN-5M database fits one 16 GB chip); on a
+        # multi-device mesh codes/scales shard over the data axis
+        # (retrieval/engine.py PreparedKeys).
         self.key_precision = key_precision
+        # int8 rescore storage: serving defaults to bfloat16 host rows —
+        # the 5M DB's host tax drops 15.4 -> 7.7 GB; scores then carry the
+        # keys' bf16 representation error (~1e-3 relative). "float32" for
+        # exact scores, "none" for zero host copy (quantized ranking).
+        self.key_rescore = key_rescore
         # True: bit-faithful torchvision host eval preprocessing (matches
         # offline extraction exactly; ~23 ms/image of host work). False:
         # cheap cv2 resize+crop on host, antialias resize on DEVICE inside
@@ -85,7 +92,8 @@ class RetrievalService:
                 "key_labels must provide one label dict per key row"
             )
         self.prepared = PreparedKeys(
-            keys, mesh=self.mesh, precision=self.key_precision
+            keys, mesh=self.mesh, precision=self.key_precision,
+            rescore=self.key_rescore,
         )
         self.key_labels = list(key_labels)
 

@@ -381,7 +381,7 @@ def make_gradcache_train_step(
     model, mesh, accum_steps: int, logit_scale: float = LOGIT_SCALE,
     openclip_norm: bool = False, disable_lora: bool = False,
     color_jitter: bool = False, steps_per_call: int = 1,
-    same_batch: bool = False,
+    same_batch: bool = False, merged_model=None,
 ):
     """Gradient accumulation with FULL-batch InfoNCE negatives (GradCache,
     Gao et al. 2021) — the reference's batch-400 ClipLoss semantics
@@ -398,28 +398,47 @@ def make_gradcache_train_step(
     gradient (tested against make_train_step in tests/test_accum_step.py).
     Peak activation memory is one microbatch's towers; cost is one extra
     forward.
+
+    `merged_model`: optional rank-0 clone of `model` (load_clip_model with
+    lora_rank=0). Stage 1 is a no-grad pass, so it can run with the LoRA
+    adapters FOLDED into the projection kernels (models/lora.py
+    merge_lora_params, recomputed per macro-step — a rank-4 einsum per
+    projection, trivial next to the forward) — removing every per-layer
+    adapter op from stage 1 (merged forwards measured +9%, PERF_NOTES).
+    Stage 3's VJP keeps the adapter form (it needs adapter grads). The
+    cached embeddings then differ from stage 3's implicit recompute only
+    by compute-dtype rounding of the same math; gradient equality is
+    bounded by tests/test_accum_step.py.
     """
     from bioscan_clip_tpu.data.transforms import (
         train_transform_auto as train_transform,
     )
 
-    towers = {}
-    for name, method in (
-        ("image", model.encode_image),
-        ("dna", model.encode_dna),
-        ("language", model.encode_language),
-    ):
-        enc = getattr(model, f"{name}_encoder")
-        if enc is not None:
-            towers[name] = functools.partial(
-                lambda p, x, r, _m: model.apply(
-                    {"params": _tower_params(p)}, x, deterministic=False,
-                    rngs={"dropout": r}, method=_m,
-                ),
-                _m=method,
-            )
+    if disable_lora:
+        merged_model = None  # no adapters to fold
 
-    def embed_micro(params, mb, rng_i):
+    def make_towers(m):
+        out = {}
+        for name, method in (
+            ("image", m.encode_image),
+            ("dna", m.encode_dna),
+            ("language", m.encode_language),
+        ):
+            enc = getattr(m, f"{name}_encoder")
+            if enc is not None:
+                out[name] = functools.partial(
+                    lambda p, x, r, _m: m.apply(
+                        {"params": _tower_params(p)}, x, deterministic=False,
+                        rngs={"dropout": r}, method=_m,
+                    ),
+                    _m=method,
+                )
+        return out
+
+    towers = make_towers(model)
+    towers_s1 = make_towers(merged_model) if merged_model else towers
+
+    def embed_micro(params, mb, rng_i, tw=towers):
         aug_rng, r_img, r_dna, r_txt = jax.random.split(rng_i, 4)
         image = mb.get("image")
         if image is None and "image_u8" in mb:
@@ -433,8 +452,8 @@ def make_gradcache_train_step(
             "language": (mb.get("language"), r_txt),
         }
         return {
-            n: towers[n](params, *inputs[n])
-            for n in towers
+            n: tw[n](params, *inputs[n])
+            for n in tw
             if inputs[n][0] is not None
         }
 
@@ -458,11 +477,19 @@ def make_gradcache_train_step(
         trainable, frozen = partition_params(state.params, labels_tree)
         p_full = merge_partitions(trainable, frozen)
 
-        # stage 1: cache embeddings, no grad
+        # stage 1: cache embeddings, no grad — with merged_model the
+        # adapters are folded ONCE here and the pass runs rank-0
+        if merged_model is not None:
+            from bioscan_clip_tpu.models.lora import merge_lora_params
+
+            p_s1 = merge_lora_params(p_full)
+        else:
+            p_s1 = p_full
+
         def s1(_, xi):
             mb, i = xi
             return None, embed_micro(
-                p_full, mb, jax.random.fold_in(dropout_rng, i)
+                p_s1, mb, jax.random.fold_in(dropout_rng, i), tw=towers_s1
             )
 
         _, cached = jax.lax.scan(

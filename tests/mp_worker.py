@@ -67,7 +67,25 @@ def main():
         return {k: np.asarray(v)[my_rows] for k, v in b.items()}
 
     rng = jax.random.PRNGKey(0)
-    if mode == "scan":
+    if mode in ("gradcache", "accum"):
+        # the batch-400 recipe's multi-host form: per-process microbatch
+        # shards + (gradcache) the full-batch InfoNCE over the global mesh
+        from bioscan_clip_tpu.train.loop import (
+            make_accum_train_step,
+            make_gradcache_train_step,
+        )
+
+        factory = (
+            make_gradcache_train_step if mode == "gradcache"
+            else make_accum_train_step
+        )
+        step = factory(model, mesh, accum_steps=4)
+        losses = []
+        for s in range(2):
+            batch = shard_batch(local_rows(_batch(B, seed=s)), mesh)
+            state, loss = step(state, batch, rng)
+            losses.append(float(loss))
+    elif mode == "scan":
         # K-steps-per-dispatch over process-local stacked shards — the
         # production pod config (tpu.steps_per_call on a multi-host mesh)
         from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches

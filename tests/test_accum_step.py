@@ -165,3 +165,62 @@ def test_same_batch_scan_gradcache_matches_stacked():
             np.asarray(a), np.asarray(c), atol=1e-6, rtol=1e-5
         )
     assert int(s2.step) == K
+
+
+def test_gradcache_merged_stage1_matches_unmerged():
+    """merged_model (rank-0 towers, adapters folded per macro-step) in
+    GradCache's stage 1 must reproduce the unmerged run: same loss, same
+    updated params (fp32 CPU: the fold is exact reassociation)."""
+    from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+    model = _tiny_model()
+    merged = _tiny_model(lora_rank=0)
+    mesh = create_mesh(devices=jax.devices()[:1])
+    batch = shard_batch(_batch(16), mesh)
+
+    s1 = _init_state(model)
+    gc = make_gradcache_train_step(model, mesh, accum_steps=4)
+    s1, l1 = gc(s1, batch, jax.random.PRNGKey(3))
+
+    s2 = _init_state(model)
+    gcm = make_gradcache_train_step(
+        model, mesh, accum_steps=4, merged_model=merged
+    )
+    s2, l2 = gcm(s2, batch, jax.random.PRNGKey(3))
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_gradcache_merged_matches_full_batch_step():
+    """...and still equals the plain full-batch step (the GradCache
+    contract end-to-end with the merged stage 1)."""
+    from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+    model = _tiny_model()
+    merged = _tiny_model(lora_rank=0)
+    mesh = create_mesh(devices=jax.devices()[:1])
+    batch = shard_batch(_batch(16), mesh)
+
+    s1 = _init_state(model)
+    plain = make_train_step(model, mesh)
+    s1, l1 = plain(s1, batch, jax.random.PRNGKey(3))
+
+    s2 = _init_state(model)
+    gcm = make_gradcache_train_step(
+        model, mesh, accum_steps=4, merged_model=merged
+    )
+    s2, l2 = gcm(s2, batch, jax.random.PRNGKey(3))
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )

@@ -120,16 +120,16 @@ def test_train_cl_insect_eval_phase(tmp_path, monkeypatch):
     )
     from bioscan_clip_tpu.models.vit import ViT, ViTConfig
 
-    def tiny(args, dtype=jnp.float32):
+    def tiny(args, dtype=jnp.float32, lora_rank=2):
         kw = dict(
             hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
-            lora_rank=2, hidden_dropout=0.0, attention_dropout=0.0,
+            lora_rank=lora_rank, hidden_dropout=0.0, attention_dropout=0.0,
         )
         return clip_mod.MultiModalCLIP(
             image_encoder=ViT(
                 ViTConfig(image_size=224, patch_size=32, hidden_size=32,
                           num_layers=1, num_heads=2, num_classes=32,
-                          lora_rank=2),
+                          lora_rank=lora_rank),
                 dtype=jnp.float32,
             ),
             dna_encoder=BarcodeBertDnaEncoder(
@@ -158,16 +158,16 @@ def _tiny_factory(clip_mod):
     )
     from bioscan_clip_tpu.models.vit import ViT, ViTConfig
 
-    def tiny(args, dtype=jnp.float32):
+    def tiny(args, dtype=jnp.float32, lora_rank=2):
         kw = dict(
             hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
-            lora_rank=2, hidden_dropout=0.0, attention_dropout=0.0,
+            lora_rank=lora_rank, hidden_dropout=0.0, attention_dropout=0.0,
         )
         return clip_mod.MultiModalCLIP(
             image_encoder=ViT(
                 ViTConfig(image_size=224, patch_size=32, hidden_size=32,
                           num_layers=1, num_heads=2, num_classes=32,
-                          lora_rank=2),
+                          lora_rank=lora_rank),
                 dtype=jnp.float32,
             ),
             dna_encoder=BarcodeBertDnaEncoder(

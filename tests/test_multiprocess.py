@@ -60,12 +60,29 @@ def _reference_run(mode="plain"):
                 for x in jax.tree.leaves(state.params))
         )
         return losses, fp
-    step = make_train_step(model, mesh)
-    losses = []
-    for _ in range(2):
-        batch = shard_batch(_batch(16), mesh)
-        state, loss = step(state, batch, rng)
-        losses.append(float(loss))
+    if mode in ("gradcache", "accum"):
+        from bioscan_clip_tpu.train.loop import (
+            make_accum_train_step,
+            make_gradcache_train_step,
+        )
+
+        factory = (
+            make_gradcache_train_step if mode == "gradcache"
+            else make_accum_train_step
+        )
+        step = factory(model, mesh, accum_steps=4)
+        losses = []
+        for s in range(2):
+            batch = shard_batch(_batch(16, seed=s), mesh)
+            state, loss = step(state, batch, rng)
+            losses.append(float(loss))
+    else:
+        step = make_train_step(model, mesh)
+        losses = []
+        for _ in range(2):
+            batch = shard_batch(_batch(16), mesh)
+            state, loss = step(state, batch, rng)
+            losses.append(float(loss))
     fp = float(
         sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(state.params))
     )
@@ -73,7 +90,7 @@ def _reference_run(mode="plain"):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["plain", "scan"])
+@pytest.mark.parametrize("mode", ["plain", "scan", "gradcache", "accum"])
 def test_two_process_matches_single_process(tmp_path, mode):
     ref_losses, ref_fp = _reference_run(mode)
 

@@ -267,6 +267,17 @@ def test_full_sweep_int8_precision(tmp_path, monkeypatch):
         "micro_acc"
     ][1]["species"] == pytest.approx(1.0)
 
+    # the same int8 sweep on the multi-device mesh (no silent fp32
+    # fallback anymore — codes/scales shard over the data axis)
+    mesh = create_mesh()
+    acc_m, _, _ = inference_and_print_result(
+        keys, seen, seen, args=_Args(), k_list=[1], mesh=mesh,
+        out=lambda *_: None,
+    )
+    assert acc_m["encoded_image_feature"]["encoded_image_feature"]["seen"][
+        "micro_acc"
+    ][1]["species"] == pytest.approx(1.0)
+
 
 def test_multi_device_pallas_path_exact():
     """The Pallas fused kernel as the per-shard local search inside
