@@ -133,11 +133,7 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
 
         same_batch = "--same-batch" in sys.argv
         flat_scan = "--flat-scan" in sys.argv
-        gradcache = (
-            int(sys.argv[sys.argv.index("--gradcache") + 1])
-            if "--gradcache" in sys.argv
-            else 0
-        )
+        gradcache = _flag_value("--gradcache", 0)
         if gradcache:
             # The flagship single-chip recipe: global batch `batch` as
             # `gradcache` microbatches with FULL-batch InfoNCE negatives
@@ -202,9 +198,7 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
         # extraction bench's best-of-chunks, time each K-step dispatch
         # separately (losses fetch syncs it) and report the best. Each
         # dispatch stays under the worker's ~68 s execution watchdog.
-        n_calls = max(1, steps // scan)
-        if "--dispatches" in sys.argv:
-            n_calls = int(sys.argv[sys.argv.index("--dispatches") + 1])
+        n_calls = _flag_value("--dispatches", max(1, steps // scan))
         per_call = []
         enqueue_per = []
         for _ in range(n_calls):
@@ -362,7 +356,14 @@ def main(batch: int = BATCH, scan: int = 0, dispatches: int = 4):
         @jax.jit
         def embed_scan(params, image_u8, dna, language, carry):
             def body(c, _):
-                img = eval_transform(image_u8) + c
+                # XOR a carry-derived bit into the uint8 input so the
+                # transform's *input* depends on the loop carry — without
+                # this only the `+ c` is carry-dependent and XLA's
+                # while-loop LICM could hoist the crop+cast out of the
+                # body, under-counting per-step work (advisor r3).
+                jitter = (c * 1e9).astype(jnp.int32).astype(jnp.uint8) & \
+                    jnp.uint8(1)
+                img = eval_transform(image_u8 ^ jitter) + c
                 i_e, d_e, t_e = model.apply(
                     {"params": params}, img, dna, language,
                     deterministic=True,
@@ -461,6 +462,21 @@ def main(batch: int = BATCH, scan: int = 0, dispatches: int = 4):
     print(json.dumps(result))
 
 
+def _flag_value(name: str, default, cast=int):
+    """`--name V` lookup with a clear error instead of IndexError /
+    bare ValueError when V is missing or non-castable (advisor r3)."""
+    if name not in sys.argv:
+        return default
+    i = sys.argv.index(name)
+    if i + 1 >= len(sys.argv):
+        sys.exit(f"bench.py: {name} requires a value")
+    try:
+        return cast(sys.argv[i + 1])
+    except ValueError:
+        sys.exit(f"bench.py: {name} expects {cast.__name__}, "
+                 f"got {sys.argv[i + 1]!r}")
+
+
 if __name__ == "__main__":
     if "--champion" in sys.argv:
         # The measured-best train config (BENCH_TRAIN_sweep_r03.jsonl,
@@ -482,22 +498,10 @@ if __name__ == "__main__":
                    host_crop=True)
         sys.exit(0)
     if "--train" in sys.argv:
-        bi = (
-            int(sys.argv[sys.argv.index("--batch") + 1])
-            if "--batch" in sys.argv
-            else 128
-        )
+        bi = _flag_value("--batch", 128)
         variant = "fused" if "--fused-state" in sys.argv else "flat"
-        scan_k = (
-            int(sys.argv[sys.argv.index("--scan") + 1])
-            if "--scan" in sys.argv
-            else 0
-        )
-        rp = (
-            sys.argv[sys.argv.index("--remat-policy") + 1]
-            if "--remat-policy" in sys.argv
-            else "full"
-        )
+        scan_k = _flag_value("--scan", 0)
+        rp = _flag_value("--remat-policy", "full", cast=str)
         main_train(bi, variant=variant,
                    remat="--remat" in sys.argv or rp != "full",
                    no_dropout="--no-dropout" in sys.argv,
@@ -505,21 +509,13 @@ if __name__ == "__main__":
                    host_crop="--host-crop" in sys.argv, remat_policy=rp)
     else:
         main(
-            int(sys.argv[sys.argv.index("--batch") + 1])
-            if "--batch" in sys.argv
-            else BATCH,
+            _flag_value("--batch", BATCH),
             # Default: 96 extraction steps per dispatch (lax.scan) — the
             # measured on-chip rate (2975.5/s at B=384 vs 1691.3/s in
             # per-step mode, whose 227 ms wall "step" carried ~98 ms of
             # tunnel dispatch overhead). `--scan 0` forces per-step mode.
-            scan=(
-                int(sys.argv[sys.argv.index("--scan") + 1])
-                if "--scan" in sys.argv
-                else 96
-            ),
-            dispatches=(
-                int(sys.argv[sys.argv.index("--dispatches") + 1])
-                if "--dispatches" in sys.argv
-                else 4
-            ),
+            scan=_flag_value("--scan", 96),
+            # 3 matches the recorded sweep rows / docs/BENCHMARKS.md
+            # reproduce commands (advisor r3).
+            dispatches=_flag_value("--dispatches", 3),
         )

@@ -26,6 +26,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--keys", type=int, default=100_000)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--precision", choices=["high", "int8"], default="high",
+                    help="int8: resident quantized keys (the 5M-DB format)")
+    ap.add_argument("--device-image", action="store_true",
+                    help="device-side eval resize/crop for image queries "
+                         "(image_host_parity=False, ~10x cheaper on a thin "
+                         "host)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -44,7 +50,9 @@ def main():
     ]
     t0 = time.perf_counter()
     svc = RetrievalService(model, params, keys=keys, key_labels=labels,
-                           max_k=5, max_batch=256)
+                           max_k=5, max_batch=256,
+                           key_precision=args.precision,
+                           image_host_parity=not args.device_image)
     setup_s = time.perf_counter() - t0
 
     def barcodes(n, seed=0):
@@ -53,18 +61,22 @@ def main():
                 for _ in range(n)]
 
     out = {"n_keys": args.keys, "setup_s": round(setup_s, 1),
+           "key_precision": args.precision,
+           "image_host_parity": not args.device_image,
            "device": str(jax.devices()[0])}
 
-    # single-query DNA search (compile + warm, then timed)
+    # single-query DNA search (compile + warm, then timed; p50 of 11)
     t0 = time.perf_counter()
     svc.search(dna=barcodes(1), k=5)
     out["dna_search_1_compile_s"] = round(time.perf_counter() - t0, 1)
     times = []
-    for i in range(5):
+    for i in range(11):
         t0 = time.perf_counter()
         svc.search(dna=barcodes(1, seed=i + 1), k=5)
         times.append(time.perf_counter() - t0)
-    out["dna_search_1_ms"] = round(1000 * min(times), 1)
+    times.sort()
+    out["dna_search_1_ms"] = round(1000 * times[0], 1)
+    out["dna_search_1_ms_p50"] = round(1000 * times[len(times) // 2], 1)
 
     # batch-64 image search
     imgs = [rng.integers(0, 256, size=(768, 512, 3)).astype(np.uint8)
