@@ -144,9 +144,22 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
             from bioscan_clip_tpu.train.state import create_train_state
 
             state = create_train_state(model, params, lambda s: 1e-3)
+            # merged stage-1 (tpu.gradcache_merged, the train_cl default):
+            # the no-grad embedding pass runs rank-0 with adapters folded
+            # into the projection kernels; --no-gc-merged A/Bs it off
+            merged_model = None
+            if "--no-gc-merged" not in sys.argv:
+                from __graft_entry__ import _flagship_model
+
+                merged_model = _flagship_model(
+                    remat=remat, no_dropout=no_dropout,
+                    remat_policy=remat_policy, lora_rank=0,
+                )
             kstep = make_gradcache_train_step(
                 model, mesh, accum_steps=gradcache, steps_per_call=scan,
-                same_batch=same_batch,
+                same_batch=same_batch, merged_model=merged_model,
+                s1_image_batch=_flag_value("--s1-image-batch", 0),
+                cache_aug="--cache-aug" in sys.argv,
             )
         elif flat_scan:
             # tiny donated carry (flat LoRA vector + AdamW state); the

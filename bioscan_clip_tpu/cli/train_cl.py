@@ -154,6 +154,15 @@ def run(args, max_steps_per_epoch=None, out=print):
         merged_model = None
         if mode != "micro" and gc_merged and not disable_lora:
             merged_model = load_clip_model(args, dtype=dtype, lora_rank=0)
+        # tpu.gc_s1_image_batch: stage-1 image embeddings in big-batch
+        # chunks (the ViT tower is dropout-free -> exact; see
+        # make_gradcache_train_step). tpu.gc_cache_aug: stage 3 reuses
+        # stage 1's augmented images instead of recomputing the
+        # bit-identical transform.
+        gc_s1_img = int(tpu_cfg.get("gc_s1_image_batch", 0)) if tpu_cfg else 0
+        gc_cache_aug = (
+            bool(tpu_cfg.get("gc_cache_aug", False)) if tpu_cfg else False
+        )
         if mode == "micro":
             from bioscan_clip_tpu.train.loop import make_accum_train_step
 
@@ -170,6 +179,7 @@ def run(args, max_steps_per_epoch=None, out=print):
                 openclip_norm=bool(getattr(mc, "for_open_clip", False)),
                 disable_lora=disable_lora, color_jitter=insect_mode,
                 merged_model=merged_model,
+                s1_image_batch=gc_s1_img, cache_aug=gc_cache_aug,
             )
     else:
         # INSECT train transform appends ColorJitter(0.5 x4)
@@ -205,6 +215,7 @@ def run(args, max_steps_per_epoch=None, out=print):
                 openclip_norm=bool(getattr(mc, "for_open_clip", False)),
                 disable_lora=disable_lora, color_jitter=insect_mode,
                 merged_model=merged_model,
+                s1_image_batch=gc_s1_img, cache_aug=gc_cache_aug,
             )
     else:
         steps_per_call = 1
@@ -254,6 +265,11 @@ def run(args, max_steps_per_epoch=None, out=print):
         out(
             f"epoch {epoch}: {stats['samples_per_s']:.1f} samples/s, "
             f"{stats['epoch_time_s']:.1f}s"
+            + (
+                f" (steady {stats['samples_per_s_steady']:.1f}/s "
+                "post-compile)"
+                if "samples_per_s_steady" in stats else ""
+            )
         )
 
         eval_now = (

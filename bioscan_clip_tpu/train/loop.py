@@ -382,6 +382,7 @@ def make_gradcache_train_step(
     openclip_norm: bool = False, disable_lora: bool = False,
     color_jitter: bool = False, steps_per_call: int = 1,
     same_batch: bool = False, merged_model=None,
+    s1_image_batch: int = 0, cache_aug: bool = False,
 ):
     """Gradient accumulation with FULL-batch InfoNCE negatives (GradCache,
     Gao et al. 2021) — the reference's batch-400 ClipLoss semantics
@@ -409,6 +410,23 @@ def make_gradcache_train_step(
     cached embeddings then differ from stage 3's implicit recompute only
     by compute-dtype rounding of the same math; gradient equality is
     bounded by tests/test_accum_step.py.
+
+    `s1_image_batch`: if >0, stage 1 computes the IMAGE embeddings in
+    chunks of this many samples (one big forward per chunk) instead of
+    per-microbatch. Valid because the ViT tower is dropout-free (timm
+    ViT-B defaults, models/vit.py dropout=0.0), so its forward is
+    deterministic: batching changes only XLA tiling (compute-dtype
+    rounding), not the math — the same equality class as `merged_model`.
+    A mb-20 forward underutilizes the chip; chunked stage-1 image
+    forwards run at extraction-bench efficiency. BERT towers (real
+    dropout, per-microbatch rng streams) always stay per-microbatch.
+    Must divide accum_steps * microbatch; 0 disables.
+
+    `cache_aug`: stage 1 returns its augmented images and stage 3
+    consumes them directly, skipping the bit-identical (same aug rng)
+    train_transform recompute. Costs (B, 224, 224, 3) of activation
+    memory per macro-step (~120 MB at B=400 bf16); exact by
+    construction.
     """
     from bioscan_clip_tpu.data.transforms import (
         train_transform_auto as train_transform,
@@ -438,7 +456,7 @@ def make_gradcache_train_step(
     towers = make_towers(model)
     towers_s1 = make_towers(merged_model) if merged_model else towers
 
-    def embed_micro(params, mb, rng_i, tw=towers):
+    def embed_micro(params, mb, rng_i, tw=towers, skip=(), return_aug=False):
         aug_rng, r_img, r_dna, r_txt = jax.random.split(rng_i, 4)
         image = mb.get("image")
         if image is None and "image_u8" in mb:
@@ -451,11 +469,14 @@ def make_gradcache_train_step(
             "dna": (mb.get("dna"), r_dna),
             "language": (mb.get("language"), r_txt),
         }
-        return {
+        out = {
             n: tw[n](params, *inputs[n])
             for n in tw
-            if inputs[n][0] is not None
+            if inputs[n][0] is not None and n not in skip
         }
+        if return_aug:
+            return out, image
+        return out
 
     def split_batch(batch, n):
         return jax.tree.map(
@@ -486,15 +507,47 @@ def make_gradcache_train_step(
         else:
             p_s1 = p_full
 
+        has_img = "image" in towers and (
+            "image" in micro or "image_u8" in micro
+        )
+        s1_skip = ("image",) if (s1_image_batch and has_img) else ()
+        keep_img = has_img and (bool(s1_skip) or cache_aug)
+
         def s1(_, xi):
             mb, i = xi
-            return None, embed_micro(
-                p_s1, mb, jax.random.fold_in(dropout_rng, i), tw=towers_s1
+            out, img = embed_micro(
+                p_s1, mb, jax.random.fold_in(dropout_rng, i),
+                tw=towers_s1, skip=s1_skip, return_aug=True,
             )
+            return None, (out, img if keep_img else 0)
 
-        _, cached = jax.lax.scan(
+        _, (cached, aug_img) = jax.lax.scan(
             s1, None, (micro, jnp.arange(accum_steps))
         )
+        if s1_skip:
+            # big-batch image forwards over the stage-1 aug images: the
+            # ViT tower is deterministic (no dropout), so any batch
+            # grouping computes the same per-row math
+            flat = aug_img.reshape((-1,) + aug_img.shape[2:])
+            total = flat.shape[0]
+            chunk = min(int(s1_image_batch), total)
+            n_chunks, rem = divmod(total, chunk)
+            if rem:
+                raise ValueError(
+                    f"s1_image_batch={s1_image_batch} must divide the "
+                    f"global batch {total}"
+                )
+
+            def s1i(_, im):
+                # rng is unused by the dropout-free tower; pass any key
+                return None, towers_s1["image"](p_s1, im, dropout_rng)
+
+            _, img_emb = jax.lax.scan(
+                s1i, None, flat.reshape((n_chunks, chunk) + flat.shape[1:])
+            )
+            cached["image"] = img_emb.reshape(
+                (accum_steps, -1) + img_emb.shape[2:]
+            )
         full = {k: v.reshape(-1, v.shape[-1]) for k, v in cached.items()}
 
         # stage 2: full-batch loss -> embedding cotangents. With the
@@ -525,9 +578,17 @@ def make_gradcache_train_step(
             for k, v in emb_grads.items()
         }
 
-        # stage 3: recompute each microbatch forward, VJP the cotangent
+        # stage 3: recompute each microbatch forward, VJP the cotangent.
+        # When stage 1 kept its augmented images (keep_img), reuse them
+        # here — the transform output is bit-identical (same aug rng), so
+        # skipping the recompute is exact.
         def s3(acc, xi):
-            mb, g_mb, i = xi
+            if keep_img:
+                mb, img, g_mb, i = xi
+                mb = {k: v for k, v in mb.items() if k != "image_u8"}
+                mb["image"] = img
+            else:
+                mb, g_mb, i = xi
 
             def f(tr):
                 return embed_micro(
@@ -544,9 +605,12 @@ def make_gradcache_train_step(
             trainable,
             is_leaf=lambda x: x is None,
         )
-        g, _ = jax.lax.scan(
-            s3, zero, (micro, emb_grads_micro, jnp.arange(accum_steps))
+        s3_xs = (
+            (micro, aug_img, emb_grads_micro, jnp.arange(accum_steps))
+            if keep_img
+            else (micro, emb_grads_micro, jnp.arange(accum_steps))
         )
+        g, _ = jax.lax.scan(s3, zero, s3_xs)
         if scale_grads is not None:
             g = jax.tree.map(
                 lambda a, b: None if a is None else a + b,
@@ -699,6 +763,11 @@ def train_epoch(
     t_start = time.perf_counter()
     n_samples = 0
     tracing = False
+    # steady-state marker: set at the FIRST loss fetch (i.e. after the
+    # first dispatch, which carries jit compile). The returned
+    # samples_per_s_steady excludes that warmup so pipeline-fed epoch
+    # rates are comparable to bench.py's compile-excluded numbers.
+    steady = None  # (t, samples_seen_at_t)
 
     # Per-step loss logging with a ONE-STEP delay: step i's device scalar is
     # fetched after step i+1 is enqueued, so the host never stalls the device
@@ -707,7 +776,11 @@ def train_epoch(
     pending = None  # (step index, device loss, samples seen up to the step)
 
     def record(idx, loss_dev, n_seen=None):
+        nonlocal steady
         loss_v = float(loss_dev)
+        if steady is None:
+            steady = (time.perf_counter(),
+                      n_samples if n_seen is None else n_seen)
         losses.append(loss_v)
         if logger is not None and (idx % log_every == 0 or idx < 3):
             n = n_samples if n_seen is None else n_seen
@@ -797,8 +870,14 @@ def train_epoch(
     # block on the last step so epoch timing is honest
     jax.block_until_ready(state.params)
     dur = time.perf_counter() - t_start
-    return state, {
+    stats = {
         "epoch_time_s": dur,
         "samples_per_s": n_samples / dur if dur > 0 else 0.0,
         "mean_loss": float(np.mean(losses)) if losses else float("nan"),
     }
+    if steady is not None and n_samples > steady[1]:
+        sdur = time.perf_counter() - steady[0]
+        stats["samples_per_s_steady"] = (
+            (n_samples - steady[1]) / sdur if sdur > 0 else 0.0
+        )
+    return state, stats

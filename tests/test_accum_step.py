@@ -197,6 +197,99 @@ def test_gradcache_merged_stage1_matches_unmerged():
         )
 
 
+def _aug_model_and_batch(B=8):
+    """224-input tiny model with REAL dropout on the DNA tower (the image
+    tower stays dropout-free, as in the flagship ViT) + a device-aug u8
+    batch — exercises the per-microbatch rng streams that
+    s1_image_batch/cache_aug must preserve exactly."""
+    import jax.numpy as jnp
+
+    from bioscan_clip_tpu.models.bert import BarcodeBertDnaEncoder, BertConfig
+    from bioscan_clip_tpu.models.clip import MultiModalCLIP
+    from bioscan_clip_tpu.models.vit import ViT, ViTConfig
+    from bioscan_clip_tpu.train.state import create_train_state
+
+    model = MultiModalCLIP(
+        image_encoder=ViT(
+            ViTConfig(
+                image_size=224, patch_size=56, hidden_size=32, num_layers=2,
+                num_heads=2, num_classes=24, lora_rank=2,
+            ),
+            dtype=jnp.float32,
+        ),
+        dna_encoder=BarcodeBertDnaEncoder(
+            BertConfig(
+                vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                intermediate_size=64, lora_rank=2,
+                hidden_dropout=0.1, attention_dropout=0.1,
+            ),
+            output_dim=24,
+            dtype=jnp.float32,
+        ),
+        language_encoder=None,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        # pipeline-shaped: shorter-side-256 resize output, device RRC crop
+        "image_u8": jnp.asarray(
+            rng.integers(0, 256, size=(B, 256, 341, 3), dtype=np.uint8)
+        ),
+        "dna": jnp.asarray(rng.integers(0, 64, size=(B, 9)), np.int32),
+        "labels": jnp.arange(B),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 224, 224, 3), jnp.float32),
+        batch["dna"][:2],
+    )["params"]
+    state = create_train_state(model, params, lambda s: 1e-3)
+    return model, batch, state
+
+
+@pytest.mark.parametrize("s1_img,c_aug", [(8, False), (4, True), (0, True)])
+def test_gradcache_s1_image_batch_and_cache_aug_match_ungrouped(
+    s1_img, c_aug
+):
+    """Grouped stage-1 image forwards / cached aug images == the ungrouped
+    GradCache step bit-for-bit in the rng streams (dropout ACTIVE on the
+    DNA tower, device aug from u8): only image-tower batching rounding may
+    differ."""
+    from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+    model, batch, state0 = _aug_model_and_batch()
+    mesh = create_mesh(devices=jax.devices()[:1])
+    b = shard_batch(batch, mesh)
+
+    gc_ref = make_gradcache_train_step(model, mesh, accum_steps=4)
+    s_ref, l_ref = gc_ref(state0, b, jax.random.PRNGKey(3))
+
+    _, _, state1 = _aug_model_and_batch()
+    gc_new = make_gradcache_train_step(
+        model, mesh, accum_steps=4, s1_image_batch=s1_img, cache_aug=c_aug
+    )
+    s_new, l_new = gc_new(state1, b, jax.random.PRNGKey(3))
+
+    assert float(l_ref) == pytest.approx(float(l_new), rel=1e-5)
+    for a, c in zip(
+        jax.tree.leaves(s_ref.params), jax.tree.leaves(s_new.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=1e-6, rtol=1e-5
+        )
+
+
+def test_gradcache_s1_image_batch_must_divide():
+    from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+    model, batch, state = _aug_model_and_batch()
+    mesh = create_mesh(devices=jax.devices()[:1])
+    gc = make_gradcache_train_step(
+        model, mesh, accum_steps=4, s1_image_batch=3
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        gc(state, shard_batch(batch, mesh), jax.random.PRNGKey(3))
+
+
 def test_gradcache_merged_matches_full_batch_step():
     """...and still equals the plain full-batch step (the GradCache
     contract end-to-end with the merged stage 1)."""

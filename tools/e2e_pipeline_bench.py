@@ -135,9 +135,13 @@ def train_e2e(steps, batch, spc, out_path):
     stats = [ln for ln in lines if ln.startswith("epoch 0:")]
     sps = float(stats[-1].split(":")[1].split("samples/s")[0]) if stats \
         else None
+    steady = None
+    if stats and "steady" in stats[-1]:
+        steady = float(stats[-1].split("steady")[1].split("/s")[0])
     _emit({
         "mode": "train_e2e",
-        "samples_per_s": sps,
+        "samples_per_s_incl_compile": sps,
+        "samples_per_s": steady,
         "batch": batch,
         "steps": steps,
         "steps_per_call": spc,

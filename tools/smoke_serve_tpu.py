@@ -42,12 +42,16 @@ def main():
     rng = np.random.default_rng(0)
     model, params = _init_flagship()
     params = jax.device_put(params, jax.devices()[0])
-    keys = rng.standard_normal((args.keys, 768)).astype(np.float32)
-    labels = [
+    # float32 generation (no float64 transient: 5M x 768 is 15.4 GB, not
+    # 31) and an aliased label-dict pool so the 5M-scale smoke doesn't
+    # spend minutes constructing 5M distinct python dicts
+    keys = rng.standard_normal((args.keys, 768), dtype=np.float32)
+    pool = [
         {"order": "o", "family": "f", "genus": f"g{i % 100}",
          "species": f"s{i}"}
-        for i in range(args.keys)
+        for i in range(min(args.keys, 10_000))
     ]
+    labels = [pool[i % len(pool)] for i in range(args.keys)]
     t0 = time.perf_counter()
     svc = RetrievalService(model, params, keys=keys, key_labels=labels,
                            max_k=5, max_batch=256,
