@@ -20,7 +20,7 @@ import sys
 import jax
 
 
-def run(args, max_steps_per_epoch=None, out=print):
+def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
     import jax.numpy as jnp
 
     from bioscan_clip_tpu.utils.cache import enable_compilation_cache
@@ -272,7 +272,11 @@ def run(args, max_steps_per_epoch=None, out=print):
             )
         )
 
-        eval_now = (
+        # `epoch == epochs-1` makes the final epoch ALWAYS evaluate (the
+        # reference's behavior); skip_final_eval exists for bounded bench
+        # runs (tools/e2e_pipeline_bench.py) where a 1-epoch run would
+        # otherwise pay the full retrieval eval after the timed epoch
+        eval_now = not skip_final_eval and (
             epoch % mc.evaluation_period == 0 or epoch == mc.epochs - 1
         )
         if not eval_now:

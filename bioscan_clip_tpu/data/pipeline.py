@@ -229,7 +229,30 @@ class BioscanLoader:
             from bioscan_clip_tpu.data.transforms import host_train_augment
 
             bufs = self.reader.read_images_bytes(idx)
-            imgs = list(self._pool.map(_decode_jpeg, bufs))
+            # decode through the native DCT-scaled pool when available:
+            # host_random_resized_crop skips its Resize(256) on an input
+            # that is already shorter-side-256 — the SAME image the
+            # device-aug path consumes (identical fidelity), and ~4x less
+            # host work than full-res python decode + cv2 downscale
+            # (measured 10.6 -> ~2.7 ms/image on the realistic fixture)
+            imgs = None
+            if self._use_native:
+                from bioscan_clip_tpu.data import native_io
+
+                out_h, out_w = self._native_out_hw(bufs[0])
+                if self._use_native:  # probe may have demoted
+                    try:
+                        imgs = list(
+                            native_io.decode_batch(
+                                bufs, target_short=self.host_resize_to,
+                                out_h=out_h, out_w=out_w,
+                                threads=self.decode_threads,
+                            )
+                        )
+                    except ValueError:
+                        self._use_native = False
+            if imgs is None:
+                imgs = list(self._pool.map(_decode_jpeg, bufs))
             # independent per-image streams, deterministic in
             # (seed, epoch, first index of the batch)
             rngs = np.random.default_rng(
@@ -301,24 +324,58 @@ class BioscanLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_depth)
         stop = object()
+        # cancellation: a consumer that abandons iteration mid-epoch
+        # (bounded train runs, benches, `break`) closes this generator;
+        # without it the producer stays blocked on q.put and its in-flight
+        # decode work keeps pool threads alive past interpreter shutdown
+        cancel = threading.Event()
+
+        def _put(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idx in self._index_batches():
-                    q.put(self._make_batch(idx))
+                    if cancel.is_set() or not _put(self._make_batch(idx)):
+                        return
             except BaseException as e:  # surface errors to the consumer
-                q.put(e)
+                _put(e)
             finally:
-                q.put(stop)
+                # a full queue does NOT mean the consumer is gone — it may
+                # simply not have drained yet; retry until it takes `stop`
+                # or cancels (r4: put_nowait here dropped the sentinel at
+                # end-of-epoch and the consumer blocked on q.get forever)
+                _put(stop)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(
+            target=producer, daemon=True, name="bscan-prefetch"
+        )
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        completed = False
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    completed = True
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            cancel.set()
+            if not completed:
+                # unblock a producer stuck on a full queue, then let it
+                # observe `cancel` and exit
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=30.0)
         if self.for_training:
             self.epoch += 1

@@ -259,8 +259,15 @@ def make_scan_train_step(
 
 def stack_batches(batches):
     """Stack K loader batch dicts -> one dict with a leading (K, ...) axis
-    (the input of make_scan_train_step)."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    (the input of make_scan_train_step).
+
+    Stacks on HOST (np.stack): the result crosses to the device as ONE
+    contiguous transfer per leaf in shard_stacked_batches. jnp.stack here
+    would instead ship every per-step leaf separately (K transfers each
+    paying host->device latency) and run the stack as a device op whose
+    output is then resharded — measured 49 samples/s pipeline-fed vs the
+    604/s device rate through the high-latency dev tunnel (r4)."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
 
 
 def make_accum_train_step(
@@ -677,7 +684,7 @@ def make_embed_step(model, mesh, modality: str, openclip_norm: bool = False):
 
 def extract_features(
     state_params, model, mesh, dataloader, modalities=("language", "dna", "image"),
-    for_key_set: bool = False, openclip_norm: bool = False,
+    for_key_set: bool = False, openclip_norm: bool = False, progress=None,
 ):
     """Full-split feature extraction -> split dict (the reference's
     get_features_and_label, inference_and_eval.py:734-783: one pass per
@@ -696,7 +703,28 @@ def extract_features(
     feats = {m: [] for m in steps}
     label_dicts = []
     ids = []
-    for batch in dataloader:
+    import collections
+    import time as _time
+
+    from bioscan_clip_tpu.parallel.mesh import shard_batch_padded
+
+    # Device results are fetched through a small sliding window instead of
+    # per-dispatch np.asarray: a blocking fetch after every tower dispatch
+    # serializes host decode, H2D transfer, and compute (through the dev
+    # tunnel each round trip costs ~0.1 s). A few batches of deferred
+    # (B, D) embeddings bound device memory while the current batch's
+    # towers overlap the next batch's transfer and host work.
+    pending = collections.deque()  # (modality, device array, valid rows)
+
+    def _drain(limit):
+        while len(pending) > limit:
+            m, a, k = pending.popleft()
+            feats[m].append(np.asarray(a)[:k])
+
+    _t0 = _time.perf_counter()
+    for _bi, batch in enumerate(dataloader):
+        if progress is not None:
+            progress(_bi, _time.perf_counter() - _t0)
         label_dicts.extend(batch.get("label_dicts", []))
         ids.extend(batch.get("ids", []))
         for m, step in steps.items():
@@ -708,10 +736,10 @@ def extract_features(
                 inp = batch.get("language")
             if inp is None:
                 continue
-            from bioscan_clip_tpu.parallel.mesh import shard_batch_padded
-
             inp, n = shard_batch_padded(inp, mesh)
-            feats[m].append(np.asarray(step(state_params, inp))[:n])
+            pending.append((m, step(state_params, inp), n))
+        _drain(4 * len(steps))
+    _drain(0)
     arrays = {
         m: (np.concatenate(v, axis=0) if v else None)
         for m, v in feats.items()
@@ -796,15 +824,29 @@ def train_epoch(
         from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
 
         scan_steps = {}  # chunk size -> compiled scanned step
+        # dispatch i's device losses are fetched AFTER dispatch i+1 is
+        # enqueued (the scan-mode analogue of plain mode's one-step-delayed
+        # `pending`): the fetch is then one bulk np.asarray per dispatch
+        # instead of K synchronous scalar reads stalling the device queue
+        pending_chunk = None  # (base step index, device loss vector)
+
+        def flush_chunk():
+            nonlocal pending_chunk
+            if pending_chunk is not None:
+                b0, lk = pending_chunk
+                pending_chunk = None
+                for j, lv in enumerate(np.asarray(lk)):
+                    record(b0 + j, lv)
 
         def run_chunk(state, chunk, base_idx):
-            nonlocal n_samples
+            nonlocal n_samples, pending_chunk
             k = len(chunk)
             if k == 1:
                 b = shard_batch(device_batch(chunk[0]), mesh)
                 n_samples += int(b["labels"].shape[0])
                 state, loss = train_step(state, b, rng)
-                record(base_idx, loss)
+                flush_chunk()
+                pending_chunk = (base_idx, jnp.reshape(loss, (1,)))
                 return state
             if k not in scan_steps:
                 scan_steps[k] = scan_step_factory(k)
@@ -813,8 +855,8 @@ def train_epoch(
             )
             n_samples += int(stacked["labels"].shape[1]) * k
             state, losses_k = scan_steps[k](state, stacked, rng)
-            for j in range(k):
-                record(base_idx + j, losses_k[j])
+            flush_chunk()
+            pending_chunk = (base_idx, losses_k)
             return state
 
         chunk, base = [], 0
@@ -840,6 +882,7 @@ def train_epoch(
                 chunk = []
         if chunk:
             state = run_chunk(state, chunk, base)
+        flush_chunk()
     else:
         for i, batch in enumerate(dataloader):
             if profile_dir and i == 0:

@@ -69,6 +69,30 @@ def test_loader_batches(args, dataset_path):
     assert batches[1]["image"].shape[0] == 4
 
 
+def test_abandoned_iteration_stops_producer(args, dataset_path):
+    """A consumer that breaks out mid-epoch (bounded train runs, benches)
+    must not leave the prefetch producer blocked on a full queue — the
+    generator's close path cancels it (r4: a 40-step bench process sat in
+    interpreter shutdown for its entire 30-min timeout)."""
+    import threading
+    import time
+
+    def producers():
+        return [
+            t for t in threading.enumerate() if t.name == "bscan-prefetch"
+        ]
+
+    loader = construct_dataloader(args, "no_split_and_seen_train")
+    it = iter(loader)
+    next(it)
+    assert producers()
+    it.close()  # what `del`/GC does on abandonment
+    deadline = time.time() + 40
+    while producers() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not producers()
+
+
 def test_loader_batches_uint8_fast_path(args, dataset_path):
     """tpu.eval_host_parity_resize=false opts back into raw uint8 + device
     resize (the throughput path)."""

@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--prepared", action="store_true",
                     help="build PreparedKeys outside the timer (resident-"
                     "DB serving latency, excludes quantize+upload)")
+    ap.add_argument("--layout", default="random",
+                    choices=["random", "ascending", "descending"],
+                    help="adversarial key order for the threshold-gated "
+                    "merge (ops/topk_pallas.py): 'ascending' sorts keys by "
+                    "similarity to the (clustered) queries so EVERY tile "
+                    "improves the running top-k — the kernel's documented "
+                    "worst case; 'descending' is the best case (first tile "
+                    "gates out the rest)")
     args = ap.parse_args()
 
     from bioscan_clip_tpu.retrieval.engine import PreparedKeys, topk_search
@@ -55,6 +63,18 @@ def main():
         ks[s:e] = block
     q = rng.standard_normal((args.queries, args.dim)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
+    if args.layout != "random":
+        # cluster the queries around one direction and order the keys by
+        # similarity to it -> per-query scores are (near-)monotonic in the
+        # key index, forcing the gated merge into its worst/best case
+        d = rng.standard_normal(args.dim).astype(np.float32)
+        d /= np.linalg.norm(d)
+        order = np.argsort(ks @ d)
+        if args.layout == "descending":
+            order = order[::-1]
+        ks = np.ascontiguousarray(ks[order])
+        q = d[None, :] + 0.05 * q
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
 
     if not args.prepared:
         # warm (compiles the kernel at slab shape)
@@ -97,6 +117,7 @@ def main():
         "queries_per_s": round(args.queries / dur, 1),
         "precision": args.precision,
         "prepared_s": prep_s,
+        "layout": args.layout,
         "exact_spot_check": ok,
     }))
 

@@ -22,13 +22,26 @@ Usage:
   python tools/e2e_pipeline_bench.py --extract --split val_seen [--parity]
 """
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
+# kill -USR1 <pid> dumps every Python stack to stderr without killing the
+# process — the e2e paths have wedged inside library code before (r4: the
+# eval extraction after a bounded train epoch), and this is the only
+# attach-free way to see where
+faulthandler.register(signal.SIGUSR1)
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+
+def _note(msg):
+    print(f"[e2e {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
 
 FIXTURE = os.environ.get(
     "BSCAN_FIXTURE", "/tmp/bscan_fixture/realistic_1m.hdf5"
@@ -103,12 +116,15 @@ def loader_only(steps, batch, train_crop, out_path):
     }, out_path)
 
 
-def train_e2e(steps, batch, spc, out_path):
+def train_e2e(steps, batch, spc, train_crop, out_path):
     """Bounded train epoch through the REAL CLI entry (cli.train_cl.run).
 
-    Champion single-chip recipe minus host-side RandomResizedCrop
-    (tpu.train_crop=false -> native C++ decode path; on a 1-core host the
-    Python PIL crop pipeline is strictly slower than the libjpeg pool)."""
+    Champion single-chip recipe; --train-crop picks where the crop runs:
+      false -> native C++ decode, full 768x512 uint8 shipped, device-side
+               aug (the real-hardware path; through the sandbox tunnel the
+               ~28 MB/batch transfer is the bottleneck at ~50 MB/s)
+      true  -> host RandomResizedCrop, 224x224 uint8 shipped (3.6 MB/batch;
+               trades tunnel bytes for 1-core host CPU)"""
     from bioscan_clip_tpu.cli.train_cl import run
     from bioscan_clip_tpu.config.core import load_config
 
@@ -118,7 +134,7 @@ def train_e2e(steps, batch, spc, out_path):
         "tpu.remat_policy=dots",
         "tpu.rng_impl=rbg",
         "tpu.frozen_dtype=bfloat16",
-        "tpu.train_crop=false",
+        f"tpu.train_crop={'true' if train_crop else 'false'}",
         "tpu.eval_host_parity_resize=false",
         "model_config.evaluation_period=1000000",
     ]
@@ -127,10 +143,11 @@ def train_e2e(steps, batch, spc, out_path):
 
     def out(msg):
         print(msg, flush=True)
+        _note(msg)  # stderr too: the queue pipes stdout to `tail -1`
         lines.append(str(msg))
 
     t0 = time.perf_counter()
-    run(args, max_steps_per_epoch=steps, out=out)
+    run(args, max_steps_per_epoch=steps, out=out, skip_final_eval=True)
     wall = time.perf_counter() - t0
     stats = [ln for ln in lines if ln.startswith("epoch 0:")]
     sps = float(stats[-1].split(":")[1].split("samples/s")[0]) if stats \
@@ -146,8 +163,28 @@ def train_e2e(steps, batch, spc, out_path):
         "steps": steps,
         "steps_per_call": spc,
         "wall_s_incl_setup": round(wall, 1),
-        "recipe": "champion minus host-crop (native decode, device aug)",
+        "train_crop": train_crop,
     }, out_path)
+
+
+def transfer_probe(out_path):
+    """Host->device bandwidth of this environment (through the tunnel in
+    the sandbox; PCIe on real hardware) — the denominator for interpreting
+    the e2e rates: a full-res uint8 train batch is ~28 MB, a host-cropped
+    one 3.6 MB."""
+    import jax
+    import numpy as np
+
+    dev = jax.devices()[0]
+    rows = {}
+    for mb in (4, 32, 128):
+        x = np.random.randint(0, 255, (mb << 20,), dtype=np.uint8)
+        jax.device_put(x[: 1 << 20], dev).block_until_ready()  # warm path
+        t0 = time.perf_counter()
+        jax.device_put(x, dev).block_until_ready()
+        dt = time.perf_counter() - t0
+        rows[f"h2d_{mb}mb_mb_per_s"] = round(mb / dt, 1)
+    _emit({"mode": "transfer_probe", "device": str(dev), **rows}, out_path)
 
 
 def extract_e2e(split, batch, parity, out_path):
@@ -170,18 +207,36 @@ def extract_e2e(split, batch, parity, out_path):
     ]
     args = load_config(overrides=ov)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    _note("config loaded; building model")
     model = load_clip_model(args, dtype=dtype)
     params = init_clip_params(model, jax.random.PRNGKey(0))
     model, params = maybe_merge_lora(args, model, params, dtype=dtype)
+    _note("model ready; constructing eval loader")
     loader = construct_dataloader(args, split)
     n = len(loader.reader)
+    _note(f"extracting {n} records in batches of {batch}")
+    marks = []  # (batch index, elapsed) from extract_features' progress
+
+    def _progress(i, t):
+        marks.append((i, t))
+        _note(f"batch {i} starts at {t:.1f}s")
+
     t0 = time.perf_counter()
-    split_dict = extract_features(params, model, create_mesh(), loader)
+    split_dict = extract_features(
+        params, model, create_mesh(), loader, progress=_progress,
+    )
     dur = time.perf_counter() - t0
     assert split_dict["encoded_image_feature"].shape[0] == n
+    # steady rate: batches after the first 3 (tower compiles land in the
+    # first batches), measured to the end of the run
+    steady = None
+    if len(marks) > 4:
+        i0, ts = marks[3]
+        steady = round((n - i0 * batch) / (dur - ts), 1)
     _emit({
         "mode": "extract_e2e",
         "samples_per_s": round(n / dur, 1),
+        "samples_per_s_steady": steady,
         "split": split,
         "records": n,
         "batch": batch,
@@ -197,9 +252,18 @@ if __name__ == "__main__":
         loader_only(_flag("--steps", 40), batch,
                     "--train-crop" in sys.argv, out_path)
     elif "--train" in sys.argv:
-        train_e2e(_flag("--steps", 200), batch, _flag("--spc", 32), out_path)
+        train_e2e(_flag("--steps", 200), batch, _flag("--spc", 32),
+                  "--train-crop" in sys.argv, out_path)
+    elif "--transfer-probe" in sys.argv:
+        transfer_probe(out_path)
     elif "--extract" in sys.argv:
         extract_e2e(_flag("--split", "val_seen", cast=str),
                     _flag("--batch", 24), "--parity" in sys.argv, out_path)
     else:
         sys.exit(__doc__)
+    # results are emitted; if interpreter shutdown wedges (stray non-daemon
+    # thread in a dependency), dump every stack to stderr and hard-exit
+    # instead of eating the caller's timeout
+    import faulthandler
+
+    faulthandler.dump_traceback_later(60, exit=True)
