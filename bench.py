@@ -160,6 +160,9 @@ def main_train(batch: int, steps: int = 8, variant: str = "flat",
                 same_batch=same_batch, merged_model=merged_model,
                 s1_image_batch=_flag_value("--s1-image-batch", 0),
                 cache_aug="--cache-aug" in sys.argv,
+                # --s1-chunk N: stage 1 embeds ALL towers in chunks of N
+                # (row-keyed dropout; train/loop.py docstring)
+                s1_chunk=_flag_value("--s1-chunk", 0),
             )
         elif flat_scan:
             # tiny donated carry (flat LoRA vector + AdamW state); the

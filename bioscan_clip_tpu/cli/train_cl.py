@@ -163,6 +163,11 @@ def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
         gc_cache_aug = (
             bool(tpu_cfg.get("gc_cache_aug", False)) if tpu_cfg else False
         )
+        # tpu.gc_s1_chunk: stage 1 embeds ALL towers in big-batch chunks
+        # under batch-composition-invariant (row-keyed) dropout — stage 3's
+        # per-microbatch recompute reproduces the same masks exactly
+        # (make_gradcache_train_step docstring)
+        gc_s1_chunk = int(tpu_cfg.get("gc_s1_chunk", 0)) if tpu_cfg else 0
         if mode == "micro":
             from bioscan_clip_tpu.train.loop import make_accum_train_step
 
@@ -180,6 +185,7 @@ def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
                 disable_lora=disable_lora, color_jitter=insect_mode,
                 merged_model=merged_model,
                 s1_image_batch=gc_s1_img, cache_aug=gc_cache_aug,
+                s1_chunk=gc_s1_chunk,
             )
     else:
         # INSECT train transform appends ColorJitter(0.5 x4)
@@ -216,6 +222,7 @@ def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
                 disable_lora=disable_lora, color_jitter=insect_mode,
                 merged_model=merged_model,
                 s1_image_batch=gc_s1_img, cache_aug=gc_cache_aug,
+                s1_chunk=gc_s1_chunk,
             )
     else:
         steps_per_call = 1

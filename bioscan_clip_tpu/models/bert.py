@@ -33,7 +33,10 @@ from jax.ad_checkpoint import checkpoint_name
 from bioscan_clip_tpu.models.common import (
     gelu_exact,
     ln_dtype,
+    ps_dropout,
     remat_policy,
+    row_salt_advance,
+    site_seed,
 )
 from bioscan_clip_tpu.models.lora import lora_a_init, lora_b_init, lora_delta
 from bioscan_clip_tpu.ops.attention import fused_attention_enabled, mha
@@ -79,7 +82,12 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, carry, deterministic: bool = True):
-        x, attn_bias = carry  # scan carry: (hidden states, additive mask)
+        # scan carry: (hidden states, additive mask, per-row dropout salt).
+        # row_salt is None in legacy mode (flax rng dropout) or a (B,)
+        # uint32 vector in batch-composition-invariant mode (common.py
+        # ps_dropout docs) — each layer consumes its salt and passes the
+        # advanced chain to the next layer.
+        x, attn_bias, row_salt = carry
         c = self.cfg
         d = c.hidden_size
         h = c.num_heads
@@ -117,9 +125,12 @@ class BertLayer(nn.Module):
             rate = 0.0 if deterministic else float(c.attention_dropout)
             seed = None
             if rate > 0:
-                seed = jax.random.bits(
-                    self.make_rng("dropout"), dtype=jnp.uint32
-                )
+                if row_salt is not None:
+                    seed = site_seed(row_salt, 1)  # (B,) row-keyed
+                else:
+                    seed = jax.random.bits(
+                        self.make_rng("dropout"), dtype=jnp.uint32
+                    )
             y = checkpoint_name(
                 mha(q, k, v, heads=h, bias=bias2d, scale=hd**-0.5,
                     dropout_rate=rate, dropout_seed=seed),
@@ -138,15 +149,35 @@ class BertLayer(nn.Module):
                 attn = attn + attn_bias.astype(attn.dtype)  # (B,1,1,N) mask
             attn = jax.nn.softmax(attn, axis=-1)
             if c.attention_dropout > 0:
-                attn = nn.Dropout(c.attention_dropout)(
-                    attn, deterministic=deterministic
-                )
+                if row_salt is not None:
+                    if not deterministic:
+                        # same counter formula as the fused kernel's
+                        # in-VMEM mask -> bit-equal masks across paths
+                        from bioscan_clip_tpu.ops.attention import (
+                            dropout_keep_4d,
+                        )
+
+                        attn = attn * dropout_keep_4d(
+                            site_seed(row_salt, 1), B, h, N,
+                            float(c.attention_dropout),
+                        ).astype(attn.dtype)
+                else:
+                    attn = nn.Dropout(c.attention_dropout)(
+                        attn, deterministic=deterministic
+                    )
             y = jnp.einsum(
                 "bhnm,bmhd->bnhd", attn.astype(self.dtype), v
             ).reshape(B, N, d)
         y = nn.Dense(d, dtype=self.dtype, name="attn_out")(y)
         if c.hidden_dropout > 0:
-            y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
+            if row_salt is not None:
+                y = ps_dropout(
+                    y, c.hidden_dropout, row_salt, 2, deterministic
+                )
+            else:
+                y = nn.Dropout(c.hidden_dropout)(
+                    y, deterministic=deterministic
+                )
         x = checkpoint_name(
             nn.LayerNorm(epsilon=c.ln_eps, name="attn_ln", dtype=ln_dtype())(
                 x + y
@@ -161,14 +192,22 @@ class BertLayer(nn.Module):
         y = gelu_exact(y)
         y = nn.Dense(d, dtype=self.dtype, name="out")(y)
         if c.hidden_dropout > 0:
-            y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
+            if row_salt is not None:
+                y = ps_dropout(
+                    y, c.hidden_dropout, row_salt, 3, deterministic
+                )
+            else:
+                y = nn.Dropout(c.hidden_dropout)(
+                    y, deterministic=deterministic
+                )
         x = checkpoint_name(
             nn.LayerNorm(epsilon=c.ln_eps, name="out_ln", dtype=ln_dtype())(
                 x + y
             ).astype(self.dtype),
             "ln_out",
         )
-        return (x, attn_bias), None
+        next_salt = None if row_salt is None else row_salt_advance(row_salt)
+        return (x, attn_bias, next_salt), None
 
 
 class BertEncoder(nn.Module):
@@ -184,9 +223,17 @@ class BertEncoder(nn.Module):
         attention_mask=None,
         token_type_ids=None,
         deterministic: bool = True,
+        row_seeds=None,
     ):
         c = self.cfg
         B, N = input_ids.shape
+        # row_seeds: optional (B,) uint32 — switches every dropout in the
+        # tower to batch-composition-invariant keying (common.py ps_dropout
+        # docs): row b's masks depend only on row_seeds[b], so embedding a
+        # row inside any chunk/microbatch grouping is bit-identical.
+        row_salt = None
+        if row_seeds is not None:
+            row_salt = jnp.asarray(row_seeds).astype(jnp.uint32)
         word = nn.Embed(
             c.vocab_size, c.hidden_size, name="word_embeddings",
             dtype=self.dtype,
@@ -207,7 +254,14 @@ class BertEncoder(nn.Module):
             x
         ).astype(self.dtype)
         if c.hidden_dropout > 0:
-            x = nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+            if row_salt is not None:
+                x = ps_dropout(
+                    x, c.hidden_dropout, row_salt, 0, deterministic
+                )
+            else:
+                x = nn.Dropout(c.hidden_dropout)(
+                    x, deterministic=deterministic
+                )
 
         attn_bias = None
         if attention_mask is not None:
@@ -230,7 +284,10 @@ class BertEncoder(nn.Module):
             length=c.num_layers,
             in_axes=nn.broadcast,
         )(c, self.dtype, name="layers")
-        (x, _), _ = layer((x, attn_bias), deterministic)
+        # the embedding site used the raw salt; layers start on the
+        # advanced chain so site streams never collide across depth
+        layer_salt = None if row_salt is None else row_salt_advance(row_salt)
+        (x, _, _), _ = layer((x, attn_bias, layer_salt), deterministic)
         return x
 
 
@@ -249,9 +306,10 @@ class BarcodeBertDnaEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, deterministic: bool = True):
+    def __call__(self, input_ids, deterministic: bool = True,
+                 row_seeds=None):
         x = BertEncoder(self.cfg, self.dtype, name="bert")(
-            input_ids, deterministic=deterministic
+            input_ids, deterministic=deterministic, row_seeds=row_seeds
         )
         d = self.cfg.hidden_size
         # BertPredictionHeadTransform (loaded from the BarcodeBERT ckpt).
@@ -287,12 +345,14 @@ class BertTextEncoder(nn.Module):
         attention_mask=None,
         token_type_ids=None,
         deterministic: bool = True,
+        row_seeds=None,
     ):
         x = BertEncoder(self.cfg, self.dtype, name="bert")(
             input_ids,
             attention_mask=attention_mask,
             token_type_ids=token_type_ids,
             deterministic=deterministic,
+            row_seeds=row_seeds,
         )
         x = x.mean(axis=1)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="proj")(x)

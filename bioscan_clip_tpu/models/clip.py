@@ -53,16 +53,24 @@ class MultiModalCLIP(nn.Module):
         out = self.image_encoder(images, deterministic=deterministic)
         return l2_normalize(out.astype(jnp.float32))
 
-    def encode_dna(self, dna_tokens, deterministic: bool = True):
-        out = self.dna_encoder(dna_tokens, deterministic=deterministic)
+    def encode_dna(self, dna_tokens, deterministic: bool = True,
+                   row_seeds=None):
+        # row_seeds: (B,) uint32 batch-composition-invariant dropout keys
+        # (models/bert.py) — only the BERT towers accept them, so forward
+        # the kwarg only when set (MLP/OpenCLIP encoders don't take it)
+        kw = {} if row_seeds is None else {"row_seeds": row_seeds}
+        out = self.dna_encoder(dna_tokens, deterministic=deterministic, **kw)
         return l2_normalize(out.astype(jnp.float32))
 
-    def encode_language(self, language, deterministic: bool = True):
+    def encode_language(self, language, deterministic: bool = True,
+                        row_seeds=None):
+        kw = {} if row_seeds is None else {"row_seeds": row_seeds}
         out = self.language_encoder(
             language["input_ids"],
             attention_mask=language.get("attention_mask"),
             token_type_ids=language.get("token_type_ids"),
             deterministic=deterministic,
+            **kw,
         )
         return l2_normalize(out.astype(jnp.float32))
 

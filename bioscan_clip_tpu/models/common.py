@@ -106,3 +106,72 @@ def remat_policy(name: str):
         f"unknown remat_policy {name!r}: expected full | dots | narrow "
         "| wide | dots_act"
     )
+
+
+# --- batch-composition-invariant ("per-sample") dropout -------------------
+#
+# Standard flax nn.Dropout draws one mask for the whole batch from a
+# batch-shaped rng stream, so a row's mask changes whenever the batch is
+# grouped differently. The helpers below key every mask element by
+# (per-row seed, site, position within the row) through the same uint32
+# counter hash the fused attention kernel uses (ops/attention.py _mix32) —
+# a row's dropout is then IDENTICAL however rows are microbatched, chunked,
+# or sharded. GradCache stage 1 exploits this to embed the full batch in
+# large chunks while stage 3 recomputes per-microbatch with bit-equal
+# masks (train/loop.py make_gradcache_train_step); it also makes gradient
+# accumulation and multi-host sharding mask-invariant by construction.
+
+_SALT_GOLD = 0x9E3779B9  # golden-ratio increment (splitmix-style chains)
+
+
+def row_seeds_init(base_seed, row_ids):
+    """(B,) uint32 per-row seed vector from a step-level uint32 seed and
+    GLOBAL row ids (position in the full logical batch)."""
+    from bioscan_clip_tpu.ops.attention import _mix32
+    import jax.numpy as jnp
+
+    base = jnp.asarray(base_seed).astype(jnp.uint32)
+    rows = jnp.asarray(row_ids).astype(jnp.uint32)
+    return _mix32(base ^ _mix32(rows + jnp.uint32(1)))
+
+
+def row_salt_advance(row_salt):
+    """Next layer's (B,) salt vector — a splitmix-style chain, so layer k's
+    streams depend only on (row seed, k), never on batch grouping."""
+    import jax.numpy as jnp
+
+    from bioscan_clip_tpu.ops.attention import _mix32
+
+    return _mix32(row_salt + jnp.uint32(_SALT_GOLD))
+
+
+def site_seed(row_salt, site: int):
+    """(B,) uint32 seed for dropout site `site` of the current layer."""
+    import jax.numpy as jnp
+
+    from bioscan_clip_tpu.ops.attention import _mix32
+
+    c = (site * 0x85EBCA6B + 0xC2B2AE35) & 0xFFFFFFFF
+    return _mix32(row_salt ^ jnp.uint32(c))
+
+
+def ps_dropout(x, rate: float, row_salt, site: int,
+               deterministic: bool = False):
+    """Dropout over (B, ...) x whose mask element (b, pos) depends only on
+    (row_salt[b], site, pos) — batch-composition-invariant (see module
+    comment). Matches nn.Dropout semantics (keep-scale by 1/(1-rate))."""
+    if deterministic or rate <= 0 or row_salt is None:
+        return x
+    import jax
+    import jax.numpy as jnp
+
+    from bioscan_clip_tpu.ops.attention import _keep_threshold, _mix32
+
+    B = x.shape[0]
+    flat = int(np.prod(x.shape[1:]))
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (B, flat), 1)
+    s = site_seed(row_salt, site)
+    u = _mix32(s[:, None] ^ _mix32(pos + jnp.uint32(1)))
+    keep = (u >= jnp.uint32(_keep_threshold(rate))).reshape(x.shape)
+    scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))

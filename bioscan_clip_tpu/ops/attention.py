@@ -74,7 +74,12 @@ def _keep_threshold(rate: float) -> int:
 
 def dropout_keep_2d(seed, b_idx, head, n: int, rate: float, heads: int):
     """(N, N) keep/scale mask for attention-probability dropout of one
-    (batch row, head): counter-based, seeded by (seed, b, h, i, j)."""
+    (batch row, head): counter-based, seeded by (seed, b, h, i, j).
+
+    Row-keyed mode (batch-composition-invariant dropout): the caller passes
+    a PER-ROW seed and b_idx=0 — the counter then depends only on
+    (row seed, h, i, j), so the row's mask is identical however the batch
+    is grouped (GradCache stage-1 chunking, microbatching, sharding)."""
     i = jax.lax.broadcasted_iota(jnp.uint32, (n, n), 0)
     j = jax.lax.broadcasted_iota(jnp.uint32, (n, n), 1)
     b_u = jnp.asarray(b_idx).astype(jnp.uint32)
@@ -86,14 +91,24 @@ def dropout_keep_2d(seed, b_idx, head, n: int, rate: float, heads: int):
 
 def dropout_keep_4d(seed, B: int, heads: int, n: int, rate: float):
     """(B, heads, N, N) mask — the same per-element formula as
-    dropout_keep_2d, used by the XLA backward recompute."""
+    dropout_keep_2d, used by the XLA backward recompute (and by the
+    non-fused XLA attention path in row-keyed mode).
+
+    `seed` scalar: legacy keying (counter includes the batch index).
+    `seed` (B,) vector: row-keyed — bit-equal to dropout_keep_2d with
+    b_idx=0 and that row's seed, independent of batch grouping."""
     shape = (B, heads, n, n)
-    b = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     h = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     i = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
     j = jax.lax.broadcasted_iota(jnp.uint32, shape, 3)
-    idx = ((b * heads + h) * n + i) * n + j
-    u = _mix32(jnp.asarray(seed).astype(jnp.uint32) ^ _mix32(idx))
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    if seed.ndim == 1:
+        idx = (h * n + i) * n + j  # no batch term: row identity is the seed
+        u = _mix32(seed[:, None, None, None] ^ _mix32(idx))
+    else:
+        b = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        idx = ((b * heads + h) * n + i) * n + j
+        u = _mix32(seed ^ _mix32(idx))
     keep = u >= jnp.uint32(_keep_threshold(rate))
     return keep.astype(jnp.float32) / jnp.float32(1.0 - rate)
 
@@ -166,17 +181,21 @@ def _split_bias_kernel(heads, scale, q_ref, k_ref, v_ref, b_ref, o_ref):
     )
 
 
-def _split_drop_kernel(heads, scale, rate, seed_ref, q_ref, k_ref, v_ref,
-                       o_ref):
-    drop = (rate, seed_ref[0], pl.program_id(0))
+def _split_drop_kernel(heads, scale, rate, row_keyed, seed_ref, q_ref,
+                       k_ref, v_ref, o_ref):
+    # row-keyed: seed_ref's block index map hands each grid instance ITS
+    # row's seed at [0]; the counter drops the batch index (b_idx=0)
+    b_idx = jnp.uint32(0) if row_keyed else pl.program_id(0)
+    drop = (rate, seed_ref[0], b_idx)
     _attend_one_row(
         q_ref[0], k_ref[0], v_ref[0], None, heads, scale, o_ref, drop=drop
     )
 
 
-def _split_bias_drop_kernel(heads, scale, rate, seed_ref, q_ref, k_ref,
-                            v_ref, b_ref, o_ref):
-    drop = (rate, seed_ref[0], pl.program_id(0))
+def _split_bias_drop_kernel(heads, scale, rate, row_keyed, seed_ref, q_ref,
+                            k_ref, v_ref, b_ref, o_ref):
+    b_idx = jnp.uint32(0) if row_keyed else pl.program_id(0)
+    drop = (rate, seed_ref[0], b_idx)
     _attend_one_row(
         q_ref[0], k_ref[0], v_ref[0], b_ref[0].astype(jnp.float32), heads,
         scale, o_ref, drop=drop,
@@ -245,7 +264,8 @@ def _attend_bwd_one_row(q, k, v, g, bias_row, mask2d, heads: int,
     return db_acc
 
 
-def _bwd_kernel(heads, scale, rate, has_bias, has_mask, packed, *refs):
+def _bwd_kernel(heads, scale, rate, row_keyed, has_bias, has_mask, packed,
+                *refs):
     """Shared Pallas backward kernel body; ref order:
     [seed?] q|qkv, k?, v?, [bias?|mask?], g, then outputs
     dq|dqkv, dk?, dv?, [dbias?]."""
@@ -273,7 +293,10 @@ def _bwd_kernel(heads, scale, rate, has_bias, has_mask, packed, *refs):
         dk_ref = refs.pop(0)
         dv_ref = refs.pop(0)
     db_ref = refs.pop(0) if has_bias else None
-    drop = (rate, seed, pl.program_id(0)) if rate > 0 else None
+    drop = None
+    if rate > 0:
+        b_idx = jnp.uint32(0) if row_keyed else pl.program_id(0)
+        drop = (rate, seed, b_idx)
     db = _attend_bwd_one_row(
         q, k, v, g, bias_row, mask2d, heads, scale,
         dq_ref, dk_ref, dv_ref, drop=drop,
@@ -295,11 +318,20 @@ def _pallas_mha_bwd(q, k, v, g, bias, mask, heads, scale, interpret,
     else:
         b, n, d = q.shape
     specs, args = [], []
+    row_keyed = False
     if rate > 0:
-        specs.append(
-            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
-        )
-        args.append(jnp.asarray(seed, jnp.uint32).reshape(1))
+        seed_arr = jnp.asarray(seed, jnp.uint32)
+        row_keyed = seed_arr.ndim == 1
+        if row_keyed:
+            specs.append(
+                pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM)
+            )
+            args.append(seed_arr)
+        else:
+            specs.append(
+                pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
+            )
+            args.append(seed_arr.reshape(1))
     if packed:
         specs.append(_row_spec(n, d3))
         args.append(packed_qkv)
@@ -335,7 +367,8 @@ def _pallas_mha_bwd(q, k, v, g, bias, mask, heads, scale, interpret,
         )
         out_shapes.append(jax.ShapeDtypeStruct((b, 1, n), jnp.float32))
     kern = functools.partial(
-        _bwd_kernel, heads, scale, rate, has_bias, has_mask, packed
+        _bwd_kernel, heads, scale, rate, row_keyed, has_bias, has_mask,
+        packed,
     )
     outs = pl.pallas_call(
         kern,
@@ -405,16 +438,28 @@ def _pallas_mha_split(q, k, v, bias, heads, scale, interpret,
     specs = []
     args = []
     if rate > 0:
-        # scalar dropout seed in SMEM, shared by every grid instance
-        specs.append(
-            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
-        )
-        args.append(jnp.asarray(seed, jnp.uint32).reshape(1))
+        # dropout seed in SMEM: scalar (shared, legacy keying) or (B,)
+        # per-row seeds (row-keyed: each grid instance gets its own row's
+        # seed via the block index map -> batch-composition-invariant mask)
+        seed_arr = jnp.asarray(seed, jnp.uint32)
+        row_keyed = seed_arr.ndim == 1
+        if row_keyed:
+            specs.append(
+                pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM)
+            )
+            args.append(seed_arr)
+        else:
+            specs.append(
+                pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
+            )
+            args.append(seed_arr.reshape(1))
         kern = (
-            functools.partial(_split_drop_kernel, heads, scale, rate)
+            functools.partial(
+                _split_drop_kernel, heads, scale, rate, row_keyed
+            )
             if bias is None
             else functools.partial(
-                _split_bias_drop_kernel, heads, scale, rate
+                _split_bias_drop_kernel, heads, scale, rate, row_keyed
             )
         )
     else:
@@ -623,6 +668,11 @@ def mha(q, k, v, *, heads: int, bias=None, scale: float | None = None,
     the kernel with a counter-based hash RNG — the same mask recomputes
     bit-exactly in the XLA backward, so training keeps the kernel's
     zero-HBM-probability-traffic win (HF Bert attention_dropout semantics).
+
+    `dropout_seed` may instead be a (B,) uint32 vector of PER-ROW seeds:
+    each row's mask then depends only on its own seed (row-keyed mode), so
+    the mask is invariant to how rows are grouped into batches — the
+    contract GradCache stage-1 chunking relies on (train/loop.py).
 
     interpret=None auto-selects the Pallas interpreter off-TPU (CPU tests
     with BSCAN_FUSED_ATTENTION=1 run the kernel interpreted)."""

@@ -390,6 +390,7 @@ def make_gradcache_train_step(
     color_jitter: bool = False, steps_per_call: int = 1,
     same_batch: bool = False, merged_model=None,
     s1_image_batch: int = 0, cache_aug: bool = False,
+    s1_chunk: int = 0,
 ):
     """Gradient accumulation with FULL-batch InfoNCE negatives (GradCache,
     Gao et al. 2021) — the reference's batch-400 ClipLoss semantics
@@ -434,6 +435,20 @@ def make_gradcache_train_step(
     train_transform recompute. Costs (B, 224, 224, 3) of activation
     memory per macro-step (~120 MB at B=400 bf16); exact by
     construction.
+
+    `s1_chunk`: if >0, stage 1 embeds EVERY tower in chunks of this many
+    samples (supersedes s1_image_batch, which only chunks the dropout-free
+    image tower). The BERT towers have active dropout, so this switches
+    the whole step to batch-composition-invariant row-keyed dropout
+    (models/common.py ps_dropout): each row's masks depend only on
+    (step seed, its position in the global batch), never on grouping —
+    stage 3's per-microbatch recompute then reproduces stage 1's chunked
+    embeddings exactly (up to compute-dtype tiling rounding, the
+    merged_model equality class). A mb-20 BERT forward underutilizes the
+    chip the same way the image forward does; chunked stage 1 runs all
+    three towers at extraction-bench batch geometry. Requires towers that
+    accept `row_seeds` (the native BERT towers do); must divide
+    accum_steps * microbatch.
     """
     from bioscan_clip_tpu.data.transforms import (
         train_transform_auto as train_transform,
@@ -452,9 +467,14 @@ def make_gradcache_train_step(
             enc = getattr(m, f"{name}_encoder")
             if enc is not None:
                 out[name] = functools.partial(
-                    lambda p, x, r, _m: m.apply(
+                    lambda p, x, r, _m, row_seeds=None: m.apply(
                         {"params": _tower_params(p)}, x, deterministic=False,
                         rngs={"dropout": r}, method=_m,
+                        **(
+                            {}
+                            if row_seeds is None
+                            else {"row_seeds": row_seeds}
+                        ),
                     ),
                     _m=method,
                 )
@@ -463,7 +483,19 @@ def make_gradcache_train_step(
     towers = make_towers(model)
     towers_s1 = make_towers(merged_model) if merged_model else towers
 
-    def embed_micro(params, mb, rng_i, tw=towers, skip=(), return_aug=False):
+    if s1_chunk:
+        img_cfg = getattr(getattr(model, "image_encoder", None), "cfg", None)
+        if img_cfg is not None and getattr(img_cfg, "dropout", 0.0) > 0:
+            raise ValueError(
+                "s1_chunk requires a dropout-free image tower (row-keyed "
+                "dropout is implemented for the BERT towers)"
+            )
+
+    def embed_micro(params, mb, rng_i, tw=towers, skip=(), return_aug=False,
+                    row_seeds=None):
+        # row_seeds: optional {"dna"/"language": (mb,) uint32} — row-keyed
+        # dropout (s1_chunk mode); the flax rngs stay as fallbacks for
+        # towers that don't take row_seeds
         aug_rng, r_img, r_dna, r_txt = jax.random.split(rng_i, 4)
         image = mb.get("image")
         if image is None and "image_u8" in mb:
@@ -471,13 +503,15 @@ def make_gradcache_train_step(
                 mb["image_u8"], aug_rng, normalize=openclip_norm,
                 jitter=color_jitter,
             )
+        rs = row_seeds or {}
         inputs = {
-            "image": (image, r_img),
-            "dna": (mb.get("dna"), r_dna),
-            "language": (mb.get("language"), r_txt),
+            "image": (image, r_img, None),
+            "dna": (mb.get("dna"), r_dna, rs.get("dna")),
+            "language": (mb.get("language"), r_txt, rs.get("language")),
         }
         out = {
-            n: tw[n](params, *inputs[n])
+            n: tw[n](params, inputs[n][0], inputs[n][1],
+                     row_seeds=inputs[n][2])
             for n in tw
             if inputs[n][0] is not None and n not in skip
         }
@@ -517,44 +551,118 @@ def make_gradcache_train_step(
         has_img = "image" in towers and (
             "image" in micro or "image_u8" in micro
         )
-        s1_skip = ("image",) if (s1_image_batch and has_img) else ()
-        keep_img = has_img and (bool(s1_skip) or cache_aug)
-
-        def s1(_, xi):
-            mb, i = xi
-            out, img = embed_micro(
-                p_s1, mb, jax.random.fold_in(dropout_rng, i),
-                tw=towers_s1, skip=s1_skip, return_aug=True,
-            )
-            return None, (out, img if keep_img else 0)
-
-        _, (cached, aug_img) = jax.lax.scan(
-            s1, None, (micro, jnp.arange(accum_steps))
-        )
-        if s1_skip:
-            # big-batch image forwards over the stage-1 aug images: the
-            # ViT tower is deterministic (no dropout), so any batch
-            # grouping computes the same per-row math
-            flat = aug_img.reshape((-1,) + aug_img.shape[2:])
-            total = flat.shape[0]
-            chunk = min(int(s1_image_batch), total)
-            n_chunks, rem = divmod(total, chunk)
+        total = batch["labels"].shape[0]
+        mb_size = total // accum_steps
+        seeds_mod = None
+        if s1_chunk:
+            # ---- fully chunked stage 1 (row-keyed dropout, see docstring)
+            n_chunks, rem = divmod(total, s1_chunk)
             if rem:
                 raise ValueError(
-                    f"s1_image_batch={s1_image_batch} must divide the "
-                    f"global batch {total}"
+                    f"s1_chunk={s1_chunk} must divide the global batch "
+                    f"{total}"
                 )
+            from bioscan_clip_tpu.models.common import row_seeds_init
 
-            def s1i(_, im):
-                # rng is unused by the dropout-free tower; pass any key
-                return None, towers_s1["image"](p_s1, im, dropout_rng)
+            bits = jax.random.bits(dropout_rng, dtype=jnp.uint32)
+            rows = jnp.arange(total)
+            # distinct per-tower seed spaces so dna/language masks never
+            # correlate at equal (site, position)
+            seeds_mod = {
+                "dna": row_seeds_init(bits ^ jnp.uint32(0x0D5A17), rows),
+                "language": row_seeds_init(
+                    bits ^ jnp.uint32(0x7A9C33), rows
+                ),
+            }
 
-            _, img_emb = jax.lax.scan(
-                s1i, None, flat.reshape((n_chunks, chunk) + flat.shape[1:])
+            def chunked(x):
+                return x.reshape((n_chunks, s1_chunk) + x.shape[1:])
+
+            cached = {}
+            aug_img = 0
+            keep_img = has_img
+            if has_img:
+                pre = inputs.get("image")
+                aug_base = jax.random.fold_in(dropout_rng, 0xA06)
+
+                def img_body(_, xc):
+                    u8_or_im, c = xc
+                    im = u8_or_im
+                    if pre is None:
+                        im = train_transform(
+                            u8_or_im, jax.random.fold_in(aug_base, c),
+                            normalize=openclip_norm, jitter=color_jitter,
+                        )
+                    # rng unused: the image tower is dropout-free (checked
+                    # at factory build time)
+                    return None, (
+                        towers_s1["image"](p_s1, im, dropout_rng), im
+                    )
+
+                xs_img = (
+                    chunked(pre if pre is not None else inputs["image_u8"]),
+                    jnp.arange(n_chunks),
+                )
+                _, (img_e, img_a) = jax.lax.scan(img_body, None, xs_img)
+                cached["image"] = img_e.reshape(accum_steps, mb_size, -1)
+                aug_img = img_a.reshape(
+                    (accum_steps, mb_size) + img_a.shape[2:]
+                )
+            for name in ("dna", "language"):
+                if name not in towers or inputs.get(name) is None:
+                    continue
+
+                def s1_bert(_, xc, _n=name):
+                    x, s = xc
+                    return None, towers_s1[_n](
+                        p_s1, x, dropout_rng, row_seeds=s
+                    )
+
+                xs_b = (
+                    jax.tree.map(chunked, inputs[name]),
+                    chunked(seeds_mod[name]),
+                )
+                _, e = jax.lax.scan(s1_bert, None, xs_b)
+                cached[name] = e.reshape(accum_steps, mb_size, -1)
+        else:
+            s1_skip = ("image",) if (s1_image_batch and has_img) else ()
+            keep_img = has_img and (bool(s1_skip) or cache_aug)
+
+            def s1(_, xi):
+                mb, i = xi
+                out, img = embed_micro(
+                    p_s1, mb, jax.random.fold_in(dropout_rng, i),
+                    tw=towers_s1, skip=s1_skip, return_aug=True,
+                )
+                return None, (out, img if keep_img else 0)
+
+            _, (cached, aug_img) = jax.lax.scan(
+                s1, None, (micro, jnp.arange(accum_steps))
             )
-            cached["image"] = img_emb.reshape(
-                (accum_steps, -1) + img_emb.shape[2:]
-            )
+            if s1_skip:
+                # big-batch image forwards over the stage-1 aug images: the
+                # ViT tower is deterministic (no dropout), so any batch
+                # grouping computes the same per-row math
+                flat = aug_img.reshape((-1,) + aug_img.shape[2:])
+                chunk = min(int(s1_image_batch), total)
+                n_chunks, rem = divmod(total, chunk)
+                if rem:
+                    raise ValueError(
+                        f"s1_image_batch={s1_image_batch} must divide the "
+                        f"global batch {total}"
+                    )
+
+                def s1i(_, im):
+                    # rng is unused by the dropout-free tower; pass any key
+                    return None, towers_s1["image"](p_s1, im, dropout_rng)
+
+                _, img_emb = jax.lax.scan(
+                    s1i, None,
+                    flat.reshape((n_chunks, chunk) + flat.shape[1:]),
+                )
+                cached["image"] = img_emb.reshape(
+                    (accum_steps, -1) + img_emb.shape[2:]
+                )
         full = {k: v.reshape(-1, v.shape[-1]) for k, v in cached.items()}
 
         # stage 2: full-batch loss -> embedding cotangents. With the
@@ -588,23 +696,32 @@ def make_gradcache_train_step(
         # stage 3: recompute each microbatch forward, VJP the cotangent.
         # When stage 1 kept its augmented images (keep_img), reuse them
         # here — the transform output is bit-identical (same aug rng), so
-        # skipping the recompute is exact.
+        # skipping the recompute is exact. In s1_chunk mode the per-mb
+        # row seeds reproduce stage 1's chunked dropout masks exactly
+        # (row-keyed: grouping-invariant by construction).
+        seeds_mb = None
+        if seeds_mod is not None:
+            seeds_mb = {
+                k: v.reshape(accum_steps, mb_size)
+                for k, v in seeds_mod.items()
+                if k in towers and inputs.get(k) is not None
+            }
+
         def s3(acc, xi):
+            mb = xi["mb"]
             if keep_img:
-                mb, img, g_mb, i = xi
                 mb = {k: v for k, v in mb.items() if k != "image_u8"}
-                mb["image"] = img
-            else:
-                mb, g_mb, i = xi
+                mb["image"] = xi["img"]
 
             def f(tr):
                 return embed_micro(
                     merge_partitions(tr, frozen), mb,
-                    jax.random.fold_in(dropout_rng, i),
+                    jax.random.fold_in(dropout_rng, xi["i"]),
+                    row_seeds=xi.get("seeds"),
                 )
 
             _, vjp = jax.vjp(f, trainable)
-            (g,) = vjp(g_mb)
+            (g,) = vjp(xi["g"])
             return jax.tree.map(jnp.add, acc, g), None
 
         zero = jax.tree.map(
@@ -612,11 +729,15 @@ def make_gradcache_train_step(
             trainable,
             is_leaf=lambda x: x is None,
         )
-        s3_xs = (
-            (micro, aug_img, emb_grads_micro, jnp.arange(accum_steps))
-            if keep_img
-            else (micro, emb_grads_micro, jnp.arange(accum_steps))
-        )
+        s3_xs = {
+            "mb": micro,
+            "g": emb_grads_micro,
+            "i": jnp.arange(accum_steps),
+        }
+        if keep_img:
+            s3_xs["img"] = aug_img
+        if seeds_mb:
+            s3_xs["seeds"] = seeds_mb
         g, _ = jax.lax.scan(s3, zero, s3_xs)
         if scale_grads is not None:
             g = jax.tree.map(

@@ -317,3 +317,98 @@ def test_gradcache_merged_matches_full_batch_step():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
         )
+
+
+@pytest.mark.parametrize("chunks", [(2, 8), (4, 8)])
+def test_gradcache_s1_chunk_grouping_invariant(chunks):
+    """s1_chunk switches the step to row-keyed (batch-composition-
+    invariant) dropout: ANY two chunk sizes produce the same masks — the
+    loss and the updated params must agree to compute-dtype rounding
+    (models/common.py ps_dropout, make_gradcache_train_step docstring).
+    Dropout is ACTIVE on the DNA tower. Images ship PRE-CROPPED (the
+    host-crop recipe): the device transform is then draw-free, so the
+    whole step is grouping-invariant; with device-side aug the crop draws
+    are chunk-keyed (statistically equivalent, internally exact — stage 3
+    reuses stage 1's images) and only dropout is invariant."""
+    import jax.numpy as jnp
+
+    from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+    model, batch, state_a = _aug_model_and_batch()
+    rng = np.random.default_rng(7)
+    batch = dict(batch)
+    batch["image_u8"] = jnp.asarray(
+        rng.integers(0, 256, size=(8, 224, 224, 3), dtype=np.uint8)
+    )
+    mesh = create_mesh(devices=jax.devices()[:1])
+    b = shard_batch(batch, mesh)
+    c1, c2 = chunks
+
+    gc1 = make_gradcache_train_step(model, mesh, accum_steps=4, s1_chunk=c1)
+    s1_, l1 = gc1(state_a, b, jax.random.PRNGKey(3))
+
+    _, _, state_b = _aug_model_and_batch()
+    gc2 = make_gradcache_train_step(model, mesh, accum_steps=4, s1_chunk=c2)
+    s2_, l2 = gc2(state_b, b, jax.random.PRNGKey(3))
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    for a, c in zip(
+        jax.tree.leaves(s1_.params), jax.tree.leaves(s2_.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=1e-6, rtol=1e-5
+        )
+
+
+def test_gradcache_s1_chunk_dropout_differs_from_legacy():
+    """Row-keyed masks are a DIFFERENT (equally valid) draw than the flax
+    rng stream — the s1_chunk step must still descend and stay finite."""
+    from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+    model, batch, state = _aug_model_and_batch()
+    mesh = create_mesh(devices=jax.devices()[:1])
+    b = shard_batch(batch, mesh)
+    gc = make_gradcache_train_step(model, mesh, accum_steps=4, s1_chunk=8)
+    losses = []
+    for _ in range(5):
+        state, loss = gc(state, b, jax.random.PRNGKey(0))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_gradcache_s1_chunk_matches_full_batch_no_dropout():
+    """With dropout-free towers, the fully-chunked stage 1 is pure
+    plumbing: the step must equal the plain full-batch step exactly
+    (the original GradCache contract)."""
+    from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+    model = _tiny_model()
+    mesh = create_mesh(devices=jax.devices()[:1])
+    batch = shard_batch(_batch(16), mesh)
+
+    s_ref = _init_state(model)
+    plain = make_train_step(model, mesh)
+    s_ref, l_ref = plain(s_ref, batch, jax.random.PRNGKey(3))
+
+    s_new = _init_state(model)
+    gc = make_gradcache_train_step(model, mesh, accum_steps=4, s1_chunk=8)
+    s_new, l_new = gc(s_new, batch, jax.random.PRNGKey(3))
+
+    assert float(l_ref) == pytest.approx(float(l_new), rel=1e-5)
+    for a, c in zip(
+        jax.tree.leaves(s_ref.params), jax.tree.leaves(s_new.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=1e-6, rtol=1e-5
+        )
+
+
+def test_gradcache_s1_chunk_must_divide():
+    from bioscan_clip_tpu.train.loop import make_gradcache_train_step
+
+    model, batch, state = _aug_model_and_batch()
+    mesh = create_mesh(devices=jax.devices()[:1])
+    gc = make_gradcache_train_step(model, mesh, accum_steps=4, s1_chunk=3)
+    with pytest.raises(ValueError, match="must divide"):
+        gc(state, shard_batch(batch, mesh), jax.random.PRNGKey(3))

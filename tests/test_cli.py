@@ -301,3 +301,53 @@ def test_train_cl_steps_per_call(tmp_path, monkeypatch):
     step_logs = [l for l in lines if " step " in l and "loss" in l]
     assert step_logs, "per-step logging must survive the scanned path"
     assert best is not None
+
+
+def test_train_cl_gradcache_s1_chunk(tmp_path, monkeypatch):
+    """tpu.accum_steps>1 + tpu.gc_s1_chunk: the epoch runs through the
+    GradCache path with fully-chunked stage 1 (row-keyed dropout,
+    make_gradcache_train_step s1_chunk docstring) — wiring check through
+    the real CLI entry."""
+    monkeypatch.chdir(tmp_path)
+    import tests.test_insect as ti
+
+    class FakeFactory:
+        def mktemp(self, name):
+            p = tmp_path / name
+            p.mkdir(exist_ok=True)
+            return p
+
+    args = ti.insect_fixture.__wrapped__(FakeFactory())
+    cfg = args.cfg
+    cfg.merge(
+        {
+            "debug_flag": True,
+            "activate_wandb": False,
+            "save_inference": False,
+            "save_ckpt": False,
+            "project_root_path": str(tmp_path),
+            "model_output_dir": "ckpt",
+            "tpu": {"accum_steps": 2, "gc_s1_chunk": 4},
+            "inference_and_eval_setting": {"k_list": [1, 3, 5]},
+        }
+    )
+    cfg.model_config.merge(
+        {
+            "dataset": "INSECT",
+            "epochs": 1,
+            "evaluation_period": 1,
+            "model_output_name": "gc_chunk_test",
+            "load_ckpt": False,
+            "wandb_project_name": "test",
+            "batch_size": 8,
+        }
+    )
+
+    import bioscan_clip_tpu.cli.train_cl as tc
+    import bioscan_clip_tpu.models.clip as clip_mod
+
+    monkeypatch.setattr(clip_mod, "load_clip_model", _tiny_factory(clip_mod))
+    lines = []
+    state, best = tc.run(args, out=lines.append)
+    assert int(state.step) >= 1
+    assert best is not None
