@@ -75,27 +75,36 @@ def merge_lora_params(params):
         if "lora_q_a" not in node:
             return node
 
-        def delta(slot):
-            return fold(
+        def delta(slot, dtype):
+            # fold in fp32, store in the host kernel's dtype: with
+            # tpu.frozen_dtype=bfloat16 the adapters stay fp32 while the
+            # frozen kernel is bf16 — an uncast scatter-add would be a
+            # dtype-promotion error in future JAX (and the merged forward
+            # computes in the tower dtype anyway)
+            d = fold(
                 node.pop(f"lora_{slot}_a"), node.pop(f"lora_{slot}_b")
             )
+            return d.astype(dtype)
 
         if "qkv" in node:
             kern = node["qkv"]["kernel"]
             d = kern.shape[-1] // 3
-            kern = kern.at[..., :d].add(delta("q"))
-            kern = kern.at[..., 2 * d :].add(delta("v"))
+            kern = kern.at[..., :d].add(delta("q", kern.dtype))
+            kern = kern.at[..., 2 * d :].add(delta("v", kern.dtype))
             node["qkv"] = {**node["qkv"], "kernel": kern}
         elif "in_proj" in node:
             kern = node["in_proj"]["kernel"]
             d = kern.shape[-1] // 3
             for i, slot in enumerate(("q", "k", "v")):
-                kern = kern.at[..., i * d : (i + 1) * d].add(delta(slot))
+                kern = kern.at[..., i * d : (i + 1) * d].add(
+                    delta(slot, kern.dtype)
+                )
             node["in_proj"] = {**node["in_proj"], "kernel": kern}
         elif "query" in node and "value" in node:
             for slot, mod in (("q", "query"), ("v", "value")):
                 node[mod] = {
-                    **node[mod], "kernel": node[mod]["kernel"] + delta(slot)
+                    **node[mod], "kernel": node[mod]["kernel"]
+                    + delta(slot, node[mod]["kernel"].dtype)
                 }
         else:
             raise ValueError(

@@ -181,12 +181,20 @@ def _split_bias_kernel(heads, scale, q_ref, k_ref, v_ref, b_ref, o_ref):
     )
 
 
+def _row_drop(rate, row_keyed, seed_ref):
+    """(rate, seed, b_idx) triple for _attend_one_row. Row-keyed mode: the
+    whole (B,) seed vector sits in SMEM (Mosaic requires full-size rank-1
+    SMEM blocks) and each grid instance picks ITS row's seed; the hash
+    counter then drops the batch index (b_idx=0) so the mask depends only
+    on (row seed, h, i, j) — batch-composition-invariant."""
+    if row_keyed:
+        return (rate, seed_ref[pl.program_id(0)], jnp.uint32(0))
+    return (rate, seed_ref[0], pl.program_id(0))
+
+
 def _split_drop_kernel(heads, scale, rate, row_keyed, seed_ref, q_ref,
                        k_ref, v_ref, o_ref):
-    # row-keyed: seed_ref's block index map hands each grid instance ITS
-    # row's seed at [0]; the counter drops the batch index (b_idx=0)
-    b_idx = jnp.uint32(0) if row_keyed else pl.program_id(0)
-    drop = (rate, seed_ref[0], b_idx)
+    drop = _row_drop(rate, row_keyed, seed_ref)
     _attend_one_row(
         q_ref[0], k_ref[0], v_ref[0], None, heads, scale, o_ref, drop=drop
     )
@@ -194,8 +202,7 @@ def _split_drop_kernel(heads, scale, rate, row_keyed, seed_ref, q_ref,
 
 def _split_bias_drop_kernel(heads, scale, rate, row_keyed, seed_ref, q_ref,
                             k_ref, v_ref, b_ref, o_ref):
-    b_idx = jnp.uint32(0) if row_keyed else pl.program_id(0)
-    drop = (rate, seed_ref[0], b_idx)
+    drop = _row_drop(rate, row_keyed, seed_ref)
     _attend_one_row(
         q_ref[0], k_ref[0], v_ref[0], b_ref[0].astype(jnp.float32), heads,
         scale, o_ref, drop=drop,
@@ -270,7 +277,12 @@ def _bwd_kernel(heads, scale, rate, row_keyed, has_bias, has_mask, packed,
     [seed?] q|qkv, k?, v?, [bias?|mask?], g, then outputs
     dq|dqkv, dk?, dv?, [dbias?]."""
     refs = list(refs)
-    seed = refs.pop(0)[0] if rate > 0 else None
+    seed = None
+    if rate > 0:
+        seed_ref = refs.pop(0)
+        seed = (
+            seed_ref[pl.program_id(0)] if row_keyed else seed_ref[0]
+        )
     if packed:
         qkv = refs.pop(0)[0]
         d = qkv.shape[-1] // 3
@@ -295,8 +307,7 @@ def _bwd_kernel(heads, scale, rate, row_keyed, has_bias, has_mask, packed,
     db_ref = refs.pop(0) if has_bias else None
     drop = None
     if rate > 0:
-        b_idx = jnp.uint32(0) if row_keyed else pl.program_id(0)
-        drop = (rate, seed, b_idx)
+        drop = (rate, seed, jnp.uint32(0) if row_keyed else pl.program_id(0))
     db = _attend_bwd_one_row(
         q, k, v, g, bias_row, mask2d, heads, scale,
         dq_ref, dk_ref, dv_ref, drop=drop,
@@ -324,7 +335,10 @@ def _pallas_mha_bwd(q, k, v, g, bias, mask, heads, scale, interpret,
         row_keyed = seed_arr.ndim == 1
         if row_keyed:
             specs.append(
-                pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM)
+                pl.BlockSpec(
+                    (seed_arr.shape[0],), lambda b: (0,),
+                    memory_space=pltpu.SMEM,
+                )
             )
             args.append(seed_arr)
         else:
@@ -444,8 +458,14 @@ def _pallas_mha_split(q, k, v, bias, heads, scale, interpret,
         seed_arr = jnp.asarray(seed, jnp.uint32)
         row_keyed = seed_arr.ndim == 1
         if row_keyed:
+            # full (B,) vector in SMEM for every grid instance: Mosaic
+            # requires rank-1 SMEM blocks be full-size; the kernel indexes
+            # its row by pl.program_id (see _row_drop)
             specs.append(
-                pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM)
+                pl.BlockSpec(
+                    (seed_arr.shape[0],), lambda b: (0,),
+                    memory_space=pltpu.SMEM,
+                )
             )
             args.append(seed_arr)
         else:
