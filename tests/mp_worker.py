@@ -67,7 +67,7 @@ def main():
         return {k: np.asarray(v)[my_rows] for k, v in b.items()}
 
     rng = jax.random.PRNGKey(0)
-    if mode in ("gradcache", "accum"):
+    if mode in ("gradcache", "gradcache_chunk", "accum"):
         # the batch-400 recipe's multi-host form: per-process microbatch
         # shards + (gradcache) the full-batch InfoNCE over the global mesh
         from bioscan_clip_tpu.train.loop import (
@@ -76,10 +76,11 @@ def main():
         )
 
         factory = (
-            make_gradcache_train_step if mode == "gradcache"
-            else make_accum_train_step
+            make_accum_train_step if mode == "accum"
+            else make_gradcache_train_step
         )
-        step = factory(model, mesh, accum_steps=4)
+        kw = {"s1_chunk": 8} if mode == "gradcache_chunk" else {}
+        step = factory(model, mesh, accum_steps=4, **kw)
         losses = []
         for s in range(2):
             batch = shard_batch(local_rows(_batch(B, seed=s)), mesh)

@@ -60,17 +60,18 @@ def _reference_run(mode="plain"):
                 for x in jax.tree.leaves(state.params))
         )
         return losses, fp
-    if mode in ("gradcache", "accum"):
+    if mode in ("gradcache", "gradcache_chunk", "accum"):
         from bioscan_clip_tpu.train.loop import (
             make_accum_train_step,
             make_gradcache_train_step,
         )
 
         factory = (
-            make_gradcache_train_step if mode == "gradcache"
-            else make_accum_train_step
+            make_accum_train_step if mode == "accum"
+            else make_gradcache_train_step
         )
-        step = factory(model, mesh, accum_steps=4)
+        kw = {"s1_chunk": 8} if mode == "gradcache_chunk" else {}
+        step = factory(model, mesh, accum_steps=4, **kw)
         losses = []
         for s in range(2):
             batch = shard_batch(_batch(16, seed=s), mesh)
@@ -90,7 +91,9 @@ def _reference_run(mode="plain"):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["plain", "scan", "gradcache", "accum"])
+@pytest.mark.parametrize(
+    "mode", ["plain", "scan", "gradcache", "gradcache_chunk", "accum"]
+)
 def test_two_process_matches_single_process(tmp_path, mode):
     ref_losses, ref_fp = _reference_run(mode)
 
