@@ -100,6 +100,13 @@ def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
         params = make_logit_scale_param(params)
         out("learnable logit scale enabled (init 1/0.07)")
 
+    # tpu.max_steps_per_epoch=N bounds every epoch to N optimizer steps —
+    # the CLI-reachable form of the run() kwarg (bounded on-chip epochs
+    # over real data without editing code; 0/absent = full epochs).
+    _tpu_pre = getattr(args, "tpu", None)
+    if not max_steps_per_epoch and _tpu_pre:
+        max_steps_per_epoch = int(_tpu_pre.get("max_steps_per_epoch", 0)) or None
+
     steps_per_epoch = len(train_loader)
     if max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)

@@ -351,3 +351,51 @@ def test_train_cl_gradcache_s1_chunk(tmp_path, monkeypatch):
     state, best = tc.run(args, out=lines.append)
     assert int(state.step) >= 1
     assert best is not None
+
+
+def test_train_cl_max_steps_per_epoch_knob(tmp_path, monkeypatch):
+    """tpu.max_steps_per_epoch=1 (the CLI-reachable bound on optimizer
+    steps per epoch) stops the epoch after exactly 1 step even though the
+    loader yields more batches."""
+    monkeypatch.chdir(tmp_path)
+    import tests.test_insect as ti
+
+    class FakeFactory:
+        def mktemp(self, name):
+            p = tmp_path / name
+            p.mkdir(exist_ok=True)
+            return p
+
+    args = ti.insect_fixture.__wrapped__(FakeFactory())
+    cfg = args.cfg
+    cfg.merge(
+        {
+            "debug_flag": True,
+            "activate_wandb": False,
+            "save_inference": False,
+            "save_ckpt": False,
+            "project_root_path": str(tmp_path),
+            "model_output_dir": "ckpt",
+            "tpu": {"max_steps_per_epoch": 1},
+            "inference_and_eval_setting": {"k_list": [1, 3, 5]},
+        }
+    )
+    cfg.model_config.merge(
+        {
+            "dataset": "INSECT",
+            "epochs": 1,
+            "evaluation_period": 1,
+            "model_output_name": "max_steps_test",
+            "load_ckpt": False,
+            "wandb_project_name": "test",
+            "batch_size": 8,  # trainval=18 records -> >1 batch/epoch unbounded
+        }
+    )
+
+    import bioscan_clip_tpu.cli.train_cl as tc
+    import bioscan_clip_tpu.models.clip as clip_mod
+
+    monkeypatch.setattr(clip_mod, "load_clip_model", _tiny_factory(clip_mod))
+    state, best = tc.run(args, out=lambda *_: None)
+    assert int(state.step) == 1
+    assert best is not None
