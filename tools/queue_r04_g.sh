@@ -1,0 +1,47 @@
+#!/bin/bash
+# Round-4 queue g — final-stretch runs on a quiet host (nothing else may
+# run concurrently: 1-core host, and queue-e proved contention
+# under-measures e2e by ~1.7x):
+#   1-2. batch-400 GradCache: the untried --scan 32 lever (halves the
+#        per-dispatch sync overhead; we are 1.2 ms/step = 0.13% short),
+#        plus a best-of-5 rerun of the 449.4 champion config.
+#   3.   rebuild the realistic fixture (queue-f's /tmp copy was wiped).
+#   4-7. transfer probe + loader-only + train/extract e2e, uncontended.
+#   8.   full CPU test suite, logged.
+cd /root/repo
+for i in $(seq 1 60); do
+  if timeout 180 python -c "import jax; d=jax.devices()[0]; print(d)" 2>/dev/null | grep -qi tpu; then
+    echo "tunnel up after probe $i"; break
+  fi
+  echo "probe $i: unavailable; sleep 60"; sleep 60
+done
+TR=BENCH_TRAIN_sweep_r04.jsonl
+N=0
+run_to() {
+  local tmo=$1 out=$2; shift 2
+  N=$((N+1))
+  echo "{\"run\": \"$*\", \"t\": $(date +%s)}" >> "$out"
+  ERR=/tmp/qg_err_${N}.log
+  timeout "$tmo" "$@" 2>"$ERR" | tail -1 >> "$out"
+  rc=${PIPESTATUS[0]}
+  if [ "$rc" -ne 0 ]; then
+    echo "{\"error\": $rc, \"stderr\": \"/tmp/qg_err_${N}.log\", \"tail\": \"$(tail -2 "$ERR" | tr '\n' ' ' | tr '"' "'" | head -c 300)\"}" >> "$out"
+  fi
+}
+GC="python bench.py --train --batch 400 --rbg --same-batch --host-crop --frozen-bf16 --gradcache 20 --remat-policy dots --s1-chunk 100"
+run_to 2400 $TR $GC --scan 32 --dispatches 3
+run_to 2400 $TR $GC --scan 16 --dispatches 5
+FIX=/tmp/bscan_fixture/realistic_1m.hdf5
+if [ ! -f $FIX ]; then
+  timeout 3600 python tools/make_realistic_fixture.py $FIX > /tmp/qg_fixture.log 2>&1
+fi
+E2E=BENCH_E2E_r04.jsonl
+run_to 1200 $E2E python tools/e2e_pipeline_bench.py --transfer-probe --out $E2E
+run_to 1800 $E2E python tools/e2e_pipeline_bench.py --loader-only --train-crop --steps 40 --batch 200 --out $E2E
+run_to 3600 $E2E python tools/e2e_pipeline_bench.py --train --train-crop --steps 320 --batch 24 --spc 16 --out $E2E
+run_to 3000 $E2E python tools/e2e_pipeline_bench.py --extract --split val_seen --batch 200 --out $E2E
+echo '{"queue_r04_g_benches_done": true}' >> $E2E
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  timeout 3000 python -m pytest tests/ -q > /tmp/suite_r04c.log 2>&1
+echo "EXIT=$?" >> /tmp/suite_r04c.log
+echo '{"queue_r04_g_done": true}' >> $E2E
