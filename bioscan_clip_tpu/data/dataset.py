@@ -90,6 +90,11 @@ def construct_dataloader(
         # tpu.train_crop: host-side RandomResizedCrop for train batches
         # (halves device image bytes; see pipeline.py)
         train_crop=bool(tpu_cfg.get("train_crop", False)) if tpu_cfg else False,
+        # tpu.eval_host_crop: host-side CenterCrop(224) for the fast
+        # (non-parity) eval path — bit-identical pixels, ~2x fewer feed
+        # bytes; no effect when eval_host_parity_resize is on
+        eval_host_crop=bool(tpu_cfg.get("eval_host_crop", True))
+        if tpu_cfg else False,
     )
 
 

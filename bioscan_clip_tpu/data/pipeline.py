@@ -112,6 +112,8 @@ class BioscanLoader:
         prefetch_depth: int = 2,
         host_resize_to: int = 256,
         eval_parity: bool = True,
+        eval_host_crop: bool = False,
+        eval_crop_size: int = 224,
         openclip_norm: bool = False,
         process_index: int = 0,
         process_count: int = 1,
@@ -137,6 +139,18 @@ class BioscanLoader:
         # checkpoint-parity path is the default path and variable-size
         # sources can't distort (reference dataset.py:194-200)
         self.eval_parity = eval_parity and not for_training
+        # host-side CenterCrop(224) for the fast (non-parity) EVAL path:
+        # the crop of the shorter-side-256 u8 frame is an exact slice with
+        # the same floor-div geometry as transforms.center_crop, so the
+        # device sees bit-identical pixels while host->device ships ~2x
+        # fewer bytes. Consumers check `eval_pre_cropped` and pass
+        # pre_cropped=True to eval_transform (extract_features does this
+        # automatically).
+        self.eval_pre_cropped = (
+            eval_host_crop and with_image
+            and not for_training and not self.eval_parity
+        )
+        self.eval_crop_size = eval_crop_size
         self.openclip_norm = openclip_norm
         # host-side Resize(256)+RandomResizedCrop(224) for the TRAIN path:
         # ships (224, 224, 3) uint8 per sample (~2x fewer bytes than the
@@ -279,6 +293,10 @@ class BioscanLoader:
 
             bufs = self.reader.read_images_bytes(idx)
             out_h, out_w = self._native_out_hw(bufs[0])
+            if self.eval_pre_cropped:
+                # place_center's crop-into-slot == transforms.center_crop
+                # (same floor-div geometry) on the resized frame
+                out_h = out_w = self.eval_crop_size
             if self._use_native:  # may have been demoted by the probe above
                 try:
                     batch["image_u8"] = native_io.decode_batch(
@@ -301,14 +319,19 @@ class BioscanLoader:
                         imgs,
                     )
                 )
-            shapes = {im.shape for im in imgs}
-            if len(shapes) > 1:
-                # rare aspect outliers: fit to the first image's slot with
-                # the SAME center-crop / edge-replicate-pad geometry as the
-                # native decoder (bscan_io.cc place_center), so the two host
-                # paths produce identical batches.
-                h0, w0 = imgs[0].shape[:2]
-                imgs = [_fit_to_slot(im, h0, w0) for im in imgs]
+            if self.eval_pre_cropped:
+                s = self.eval_crop_size
+                imgs = [_fit_to_slot(im, s, s) for im in imgs]
+            else:
+                shapes = {im.shape for im in imgs}
+                if len(shapes) > 1:
+                    # rare aspect outliers: fit to the first image's slot
+                    # with the SAME center-crop / edge-replicate-pad
+                    # geometry as the native decoder (bscan_io.cc
+                    # place_center), so the two host paths produce
+                    # identical batches.
+                    h0, w0 = imgs[0].shape[:2]
+                    imgs = [_fit_to_slot(im, h0, w0) for im in imgs]
             batch["image_u8"] = np.stack(imgs).astype(np.uint8)
         if self.with_dna:
             batch["dna"] = self.reader.read_dna_tokens(idx)

@@ -274,18 +274,30 @@ def color_jitter(images, rng, brightness=0.5, contrast=0.5, saturation=0.5,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("size", "resize_to", "normalize")
+    jax.jit, static_argnames=("size", "resize_to", "normalize", "pre_cropped")
 )
 def eval_transform(images_u8, size: int = 224, resize_to: int = 256,
-                   normalize: bool = False):
+                   normalize: bool = False, pre_cropped: bool = False):
     """ToTensor -> Resize(256) -> CenterCrop(224) [-> CLIP Normalize].
 
     When Resize is a no-op (shorter side already == resize_to, the host
     pipeline's standard frame), crop FIRST on the uint8 frame and cast
     after: scaling commutes with the crop slice exactly, and the fp32
-    cast + crop then touch (224, 224) instead of the full frame."""
+    cast + crop then touch (224, 224) instead of the full frame.
+
+    `pre_cropped`: the host loader already center-cropped the
+    shorter-side-`resize_to` frame to (size, size) — u8 cropping is an
+    exact slice, so the result is bit-identical to cropping here while
+    shipping ~2x fewer bytes over host->device (eval_host_crop in
+    data/pipeline.py). Only cast + normalize remain."""
     B, H, W, C = images_u8.shape
-    if tv_resize_size(H, W, resize_to) == (H, W) and min(H, W) >= size:
+    if pre_cropped:
+        if (H, W) != (size, size):
+            raise ValueError(
+                f"pre_cropped eval batch must be ({size},{size}); got {(H, W)}"
+            )
+        x = images_u8.astype(jnp.float32) / 255.0
+    elif tv_resize_size(H, W, resize_to) == (H, W) and min(H, W) >= size:
         x = center_crop(images_u8, size).astype(jnp.float32) / 255.0
     else:
         x = images_u8.astype(jnp.float32) / 255.0

@@ -779,11 +779,14 @@ def make_gradcache_train_step(
     return train_steps
 
 
-def make_embed_step(model, mesh, modality: str, openclip_norm: bool = False):
+def make_embed_step(model, mesh, modality: str, openclip_norm: bool = False,
+                    pre_cropped: bool = False):
     """Jitted inference step for one modality -> normalized (B, D) embeddings
     (the hot loop of get_feature_and_label, inference_epoch.py:8-68). uint8
     image batches get the deterministic eval transform on device
-    (Resize 256 -> CenterCrop 224, dataset.py:194-200)."""
+    (Resize 256 -> CenterCrop 224, dataset.py:194-200); `pre_cropped` skips
+    the resize+crop for loaders that ship host-center-cropped (224, 224)
+    frames (bit-identical, ~2x fewer feed bytes)."""
     from bioscan_clip_tpu.data.transforms import eval_transform
 
     method = {
@@ -795,7 +798,9 @@ def make_embed_step(model, mesh, modality: str, openclip_norm: bool = False):
     @jax.jit
     def embed(params, inputs):
         if modality == "image" and inputs.dtype == jnp.uint8:
-            inputs = eval_transform(inputs, normalize=openclip_norm)
+            inputs = eval_transform(
+                inputs, normalize=openclip_norm, pre_cropped=pre_cropped
+            )
         return model.apply(
             {"params": params}, inputs, deterministic=True, method=method
         )
@@ -816,7 +821,13 @@ def extract_features(
     from bioscan_clip_tpu.retrieval.report import build_split_dict
 
     steps = {
-        m: make_embed_step(model, mesh, m, openclip_norm=openclip_norm)
+        m: make_embed_step(
+            model, mesh, m, openclip_norm=openclip_norm,
+            pre_cropped=(
+                m == "image"
+                and getattr(dataloader, "eval_pre_cropped", False)
+            ),
+        )
         for m in modalities
         if getattr(model, f"{'language' if m == 'language' else m}_encoder")
         is not None

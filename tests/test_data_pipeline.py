@@ -103,6 +103,62 @@ def test_loader_batches_uint8_fast_path(args, dataset_path):
     assert b["image_u8"].shape[0] == 8
 
 
+def test_eval_host_crop_bit_identical(args, dataset_path):
+    """tpu.eval_host_crop ships (224, 224) u8 frames that are an exact
+    center-crop slice of the uncropped eval frame; eval_transform with
+    pre_cropped=True then produces bit-identical model inputs while the
+    feed carries ~2x fewer bytes."""
+    from bioscan_clip_tpu.data.transforms import eval_transform
+
+    full = BioscanLoader(
+        str(dataset_path), "val_seen", batch_size=8,
+        eval_parity=False, eval_host_crop=False,
+    )
+    cropped = BioscanLoader(
+        str(dataset_path), "val_seen", batch_size=8,
+        eval_parity=False, eval_host_crop=True,
+    )
+    assert not full.eval_pre_cropped and cropped.eval_pre_cropped
+    bf = next(iter(full))["image_u8"]
+    bc = next(iter(cropped))["image_u8"]
+    assert bc.shape[1:] == (224, 224, 3)
+    _, H, W, _ = bf.shape
+    top, left = (H - 224) // 2, (W - 224) // 2
+    np.testing.assert_array_equal(
+        bc, bf[:, top:top + 224, left:left + 224]
+    )
+    a = eval_transform(jnp.asarray(bf))
+    b = eval_transform(jnp.asarray(bc), pre_cropped=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # shape contract: pre_cropped rejects non-(size, size) frames
+    with pytest.raises(ValueError):
+        eval_transform(jnp.asarray(bf), pre_cropped=True)
+
+
+def test_eval_host_crop_extract_features_equality(args):
+    """extract_features auto-detects eval_pre_cropped loaders and returns
+    identical embeddings (same model inputs by construction)."""
+    from bioscan_clip_tpu.models.clip import init_clip_params
+    from bioscan_clip_tpu.parallel.mesh import create_mesh
+    from bioscan_clip_tpu.train.loop import extract_features
+
+    model = _tiny_full_model()
+    params = init_clip_params(model, jax.random.PRNGKey(0))
+    mesh = create_mesh(devices=jax.devices()[:1])
+    args.cfg.merge({"tpu": {"eval_host_parity_resize": False,
+                            "eval_host_crop": False}})
+    d_full = extract_features(
+        params, model, mesh, construct_dataloader(args, "val_seen"),
+    )
+    args.cfg.merge({"tpu": {"eval_host_crop": True}})
+    loader = construct_dataloader(args, "val_seen")
+    assert loader.eval_pre_cropped
+    d_crop = extract_features(params, model, mesh, loader)
+    np.testing.assert_array_equal(
+        d_full["encoded_image_feature"], d_crop["encoded_image_feature"]
+    )
+
+
 def test_train_loader_drop_last_and_shuffle(args):
     loader = construct_dataloader(
         args, "no_split_and_seen_train", for_pre_train=True, shuffle=True
