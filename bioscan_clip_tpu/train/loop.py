@@ -847,6 +847,13 @@ def extract_features(
     # (B, D) embeddings bound device memory while the current batch's
     # towers overlap the next batch's transfer and host work.
     pending = collections.deque()  # (modality, device array, valid rows)
+    # window size: 4 batches of towers by default; BSCAN_EXTRACT_PENDING
+    # overrides (0 = fetch synchronously every batch — diagnostic for
+    # tunnel environments where a deep deferred window can stall on the
+    # first drain)
+    import os as _os
+
+    window = int(_os.environ.get("BSCAN_EXTRACT_PENDING", 4)) * len(steps)
 
     def _drain(limit):
         while len(pending) > limit:
@@ -870,7 +877,7 @@ def extract_features(
                 continue
             inp, n = shard_batch_padded(inp, mesh)
             pending.append((m, step(state_params, inp), n))
-        _drain(4 * len(steps))
+        _drain(window)
     _drain(0)
     arrays = {
         m: (np.concatenate(v, axis=0) if v else None)

@@ -121,24 +121,39 @@ def test_search_identity_topk():
 
 
 def test_search_int8_key_database():
-    """serve.key_precision=int8: quantized resident keys + fp32 rescore
-    answer identically to the fp32 database on well-separated keys."""
+    """serve.key_precision=int8: quantized resident keys answer identically
+    to the fp32 database on well-separated keys. The serving default rescore
+    storage is bfloat16 (half the host RAM, docs/SERVING.md), so scores carry
+    the keys' bf16 representation error (~1e-3 relative); an explicit
+    key_rescore="float32" service returns exact self-similarities."""
     rng = np.random.default_rng(11)
     keys = rng.standard_normal((32, D_OUT)).astype(np.float32)
     labels = [
         {"order": "o", "family": "f", "genus": "g", "species": f"s{i}"}
         for i in range(32)
     ]
+    from bioscan_clip_tpu.retrieval.engine import l2norm_np
+
     svc = _tiny_service(with_keys=False)
+    assert svc.key_rescore == "bfloat16"  # documented serving default
     svc.key_precision = "int8"
     svc.set_keys(keys, labels)
     assert svc.prepared.int8
-    from bioscan_clip_tpu.retrieval.engine import l2norm_np
-
     out = svc.search(embeddings=l2norm_np(keys[:5]), k=1)
     got = [p["species"][0] for p in out["predictions"]]
     assert got == [f"s{i}" for i in range(5)]
+    # bf16 rescore rows: exact ranking here, scores within bf16 key error
     assert np.allclose(np.asarray(out["similarities"])[:, 0], 1.0,
+                       atol=4e-3)
+
+    svc32 = _tiny_service(with_keys=False)
+    svc32.key_precision = "int8"
+    svc32.key_rescore = "float32"
+    svc32.set_keys(keys, labels)
+    out32 = svc32.search(embeddings=l2norm_np(keys[:5]), k=1)
+    got32 = [p["species"][0] for p in out32["predictions"]]
+    assert got32 == [f"s{i}" for i in range(5)]
+    assert np.allclose(np.asarray(out32["similarities"])[:, 0], 1.0,
                        atol=1e-5)
 
 
