@@ -91,12 +91,12 @@ def run(args, max_epochs=None, out=print):
             out(f"Evaluation Result: {acc}")
 
     # export per-sample image embeddings (pre-head features)
-    from bioscan_clip_tpu.data.transforms import eval_transform
+    from bioscan_clip_tpu.data.transforms import eval_transform_auto
 
     @jax.jit
     def feat(params, x):
         if x.dtype == jnp.uint8:
-            x = eval_transform(x)
+            x = eval_transform_auto(x)
         return clf.apply(
             {"params": params}, x, deterministic=True,
             method=clf.get_feature,

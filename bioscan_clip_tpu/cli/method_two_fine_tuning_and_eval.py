@@ -46,13 +46,13 @@ def classifier_predictions(params, clf, mesh, loader, idx_to_all,
     import jax
     import jax.numpy as jnp
 
-    from bioscan_clip_tpu.data.transforms import eval_transform
+    from bioscan_clip_tpu.data.transforms import eval_transform_auto
     from bioscan_clip_tpu.parallel.mesh import shard_batch_padded
 
     @jax.jit
     def infer(params, x):
         if x.dtype == jnp.uint8:
-            x = eval_transform(x, normalize=openclip_norm)
+            x = eval_transform_auto(x, normalize=openclip_norm)
         logits = clf.apply({"params": params}, x, deterministic=True)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jax.lax.top_k(probs, 5)

@@ -264,10 +264,17 @@ def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
     out("training...")
     for epoch in range(start_epoch, mc.epochs):
         loader = train_loader
+        bounded_gen = None
         if max_steps_per_epoch:
             import itertools
 
-            loader = itertools.islice(iter(train_loader), max_steps_per_epoch)
+            # keep the raw generator so it can be CLOSED after the bounded
+            # epoch: islice abandons it mid-epoch, leaving the loader's
+            # prefetch producer thread alive and competing with the eval
+            # phase for host cores (r4: eval extraction after a bounded
+            # epoch crawled partly for this reason)
+            bounded_gen = iter(train_loader)
+            loader = itertools.islice(bounded_gen, max_steps_per_epoch)
         state, stats = train_epoch(
             state, train_step, loader, mesh, rng, epoch, mc.epochs,
             logger=out, wandb_run=wandb_run,
@@ -276,6 +283,8 @@ def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
             steps_per_call=steps_per_call,
             scan_step_factory=scan_factory,
         )
+        if bounded_gen is not None:
+            bounded_gen.close()  # cancels the prefetch producer thread
         out(
             f"epoch {epoch}: {stats['samples_per_s']:.1f} samples/s, "
             f"{stats['epoch_time_s']:.1f}s"
@@ -303,6 +312,10 @@ def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
         # process-LOCAL devices (the loaders are unsharded for eval) — the
         # reference's rank-0 eval semantics without idling the other hosts'
         # feature extraction.
+        # tpu.extract_group: dispatch-amortized extraction (train/loop.py
+        # _extract_features_grouped); -1 = backend auto-default
+        _eg = int(tpu_cfg.get("extract_group", -1)) if tpu_cfg else -1
+        eg = None if _eg < 0 else _eg
         eval_mesh, eval_params = mesh, state.params
         if proc_cnt > 1:
             import numpy as np
@@ -318,7 +331,8 @@ def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
 
             train_key, val_loader, test_seen_l, test_unseen_l = eval_loaders
             dicts = [
-                extract_features(eval_params, model, eval_mesh, l)
+                extract_features(eval_params, model, eval_mesh, l,
+                                 group_samples=eg)
                 for l in (train_key, val_loader, test_seen_l, test_unseen_l)
             ]
             keys_dict = construct_key_dict(dicts)
@@ -326,13 +340,14 @@ def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
         else:
             all_keys, seen_val, unseen_val = eval_loaders
             keys_dict = extract_features(
-                eval_params, model, eval_mesh, all_keys, for_key_set=True
+                eval_params, model, eval_mesh, all_keys, for_key_set=True,
+                group_samples=eg,
             )
             seen_dict = extract_features(
-                eval_params, model, eval_mesh, seen_val
+                eval_params, model, eval_mesh, seen_val, group_samples=eg
             )
             unseen_dict = extract_features(
-                eval_params, model, eval_mesh, unseen_val
+                eval_params, model, eval_mesh, unseen_val, group_samples=eg
             )
         acc_dict, _, _ = inference_and_print_result(
             keys_dict, seen_dict, unseen_dict, args=args, k_list=k_list,

@@ -293,17 +293,28 @@ class BioscanLoader:
 
             bufs = self.reader.read_images_bytes(idx)
             out_h, out_w = self._native_out_hw(bufs[0])
-            if self.eval_pre_cropped:
-                # place_center's crop-into-slot == transforms.center_crop
-                # (same floor-div geometry) on the resized frame
-                out_h = out_w = self.eval_crop_size
             if self._use_native:  # may have been demoted by the probe above
                 try:
-                    batch["image_u8"] = native_io.decode_batch(
+                    frames = native_io.decode_batch(
                         bufs, target_short=self.host_resize_to,
                         out_h=out_h, out_w=out_w,
                         threads=self.decode_threads,
                     )
+                    if self.eval_pre_cropped:
+                        # crop the STANDARD slot (place_center output) —
+                        # composing fit-to-slot + floor-div center crop,
+                        # the exact two-stage geometry the device
+                        # center_crop path applies, so aspect-ratio
+                        # outliers stay bit-identical across paths
+                        # (a single direct crop differed by 1px when both
+                        # crop deltas were odd — ADVICE r4)
+                        s = self.eval_crop_size
+                        t = (out_h - s) // 2
+                        l = (out_w - s) // 2
+                        frames = np.ascontiguousarray(
+                            frames[:, t : t + s, l : l + s]
+                        )
+                    batch["image_u8"] = frames
                 except ValueError:
                     # corrupt image: python fallback
                     self._use_native = False
@@ -319,19 +330,21 @@ class BioscanLoader:
                         imgs,
                     )
                 )
+            shapes = {im.shape for im in imgs}
+            if len(shapes) > 1:
+                # rare aspect outliers: fit to the first image's slot
+                # with the SAME center-crop / edge-replicate-pad
+                # geometry as the native decoder (bscan_io.cc
+                # place_center), so the two host paths produce
+                # identical batches.
+                h0, w0 = imgs[0].shape[:2]
+                imgs = [_fit_to_slot(im, h0, w0) for im in imgs]
             if self.eval_pre_cropped:
+                # crop AFTER slot unification: the same two-stage
+                # fit-to-slot + floor-div crop composition as the device
+                # center_crop path (outliers bit-identical — ADVICE r4)
                 s = self.eval_crop_size
                 imgs = [_fit_to_slot(im, s, s) for im in imgs]
-            else:
-                shapes = {im.shape for im in imgs}
-                if len(shapes) > 1:
-                    # rare aspect outliers: fit to the first image's slot
-                    # with the SAME center-crop / edge-replicate-pad
-                    # geometry as the native decoder (bscan_io.cc
-                    # place_center), so the two host paths produce
-                    # identical batches.
-                    h0, w0 = imgs[0].shape[:2]
-                    imgs = [_fit_to_slot(im, h0, w0) for im in imgs]
             batch["image_u8"] = np.stack(imgs).astype(np.uint8)
         if self.with_dna:
             batch["dna"] = self.reader.read_dna_tokens(idx)

@@ -351,6 +351,18 @@ def train_transform(images_u8, rng, size: int = 224, resize_to: int = 256,
     return x
 
 
+def eval_transform_auto(images_u8, size: int = 224, **kw):
+    """eval_transform with `pre_cropped` inferred from the static input
+    shape: a (B, size, size, 3) uint8 batch can only come from the host
+    CenterCrop path (eval_host_crop in data/pipeline.py — the non-cropped
+    host pipeline always ships shorter-side >= resize_to frames). Without
+    this, a pre-cropped (size, size) frame fed to plain eval_transform
+    fails the no-op-resize check and is silently upscaled to resize_to and
+    re-cropped — distorted pixels, wrong accuracy, no error (ADVICE r4)."""
+    pre = images_u8.shape[1] == size and images_u8.shape[2] == size
+    return eval_transform(images_u8, size=size, pre_cropped=pre, **kw)
+
+
 def train_transform_auto(images_u8, rng, size: int = 224, **kw):
     """train_transform with `pre_cropped` inferred from the static input
     shape: a (B, size, size, 3) batch can only come from the host

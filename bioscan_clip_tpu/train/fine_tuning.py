@@ -105,7 +105,7 @@ def evaluate_classifier(
 ):
     """Top-k accuracy by argsort over classifier outputs
     (fine_tuning_epoch.py:39-75)."""
-    from bioscan_clip_tpu.data.transforms import eval_transform
+    from bioscan_clip_tpu.data.transforms import eval_transform_auto
 
     k_values = k_values or [1, 3, 5]
     max_k = min(max(k_values), len(unique_species_for_seen))
@@ -113,7 +113,10 @@ def evaluate_classifier(
     @jax.jit
     def infer(params, x):
         if modality == "image" and x.dtype == jnp.uint8:
-            x = eval_transform(x, normalize=openclip_norm)
+            # auto: eval_host_crop loaders ship pre-cropped (224, 224)
+            # frames — the shape-inferred pre_cropped path keeps them
+            # bit-identical instead of upscale-recropping (ADVICE r4 high)
+            x = eval_transform_auto(x, normalize=openclip_norm)
         logits = model.apply({"params": params}, x, deterministic=True)
         return jax.lax.top_k(logits.astype(jnp.float32), max_k)[1]
 

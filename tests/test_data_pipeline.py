@@ -159,6 +159,42 @@ def test_eval_host_crop_extract_features_equality(args):
     )
 
 
+def test_extract_features_grouped_equality(args):
+    """Dispatch-amortized grouped extraction (group_samples>0: K batches
+    merged, all towers in one jit per group) returns the same embeddings,
+    labels and ids as the per-batch path — including the padded final
+    partial group (12 records, batch 8, group capacity 16)."""
+    from bioscan_clip_tpu.models.clip import init_clip_params
+    from bioscan_clip_tpu.parallel.mesh import create_mesh
+    from bioscan_clip_tpu.train.loop import extract_features
+
+    model = _tiny_full_model()
+    params = init_clip_params(model, jax.random.PRNGKey(0))
+    mesh = create_mesh(devices=jax.devices()[:1])
+    args.cfg.merge({"tpu": {"eval_host_parity_resize": False,
+                            "eval_host_crop": True}})
+    base = extract_features(
+        params, model, mesh, construct_dataloader(args, "val_seen"),
+        for_key_set=True, group_samples=0,
+    )
+    marks = []
+    grouped = extract_features(
+        params, model, mesh, construct_dataloader(args, "val_seen"),
+        for_key_set=True, group_samples=16,
+        progress=lambda i, t: marks.append(i),
+    )
+    assert marks == [0]  # one progress mark per group start
+    for k in ("encoded_image_feature", "encoded_dna_feature",
+              "encoded_language_feature", "averaged_feature",
+              "concatenated_feature", "all_key_features"):
+        np.testing.assert_allclose(
+            base[k], grouped[k], rtol=0, atol=1e-6, err_msg=k
+        )
+    assert base["label_list"] == grouped["label_list"]
+    assert base["file_name_list"] == grouped["file_name_list"]
+    assert grouped["encoded_image_feature"].shape[0] == 12
+
+
 def test_train_loader_drop_last_and_shuffle(args):
     loader = construct_dataloader(
         args, "no_split_and_seen_train", for_pre_train=True, shuffle=True

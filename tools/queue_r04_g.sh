@@ -25,7 +25,7 @@ run_to() {
   timeout "$tmo" "$@" 2>"$ERR" | tail -1 >> "$out"
   rc=${PIPESTATUS[0]}
   if [ "$rc" -ne 0 ]; then
-    echo "{\"error\": $rc, \"stderr\": \"/tmp/qg_err_${N}.log\", \"tail\": \"$(tail -2 "$ERR" | tr '\n' ' ' | tr '"' "'" | head -c 300)\"}" >> "$out"
+    echo "{\"error\": $rc, \"stderr\": \"/tmp/qg_err_${N}.log\", \"tail\": $(tail -2 "$ERR" | head -c 300 | python -c 'import json,sys; print(json.dumps(sys.stdin.read()))')}" >> "$out"
   fi
 }
 GC="python bench.py --train --batch 400 --rbg --same-batch --host-crop --frozen-bf16 --gradcache 20 --remat-policy dots --s1-chunk 100"
