@@ -95,6 +95,10 @@ def construct_dataloader(
         # bytes; no effect when eval_host_parity_resize is on
         eval_host_crop=bool(tpu_cfg.get("eval_host_crop", True))
         if tpu_cfg else False,
+        # tpu.shuffle_window: train-shuffle locality window (see
+        # pipeline.py — 0 = full global permutation)
+        shuffle_window=int(tpu_cfg.get("shuffle_window", 0))
+        if tpu_cfg else 0,
     )
 
 

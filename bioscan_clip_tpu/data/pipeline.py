@@ -119,6 +119,7 @@ class BioscanLoader:
         process_count: int = 1,
         train_crop: bool = False,
         train_crop_size: int = 224,
+        shuffle_window: int = 0,
     ):
         self.reader = SplitReader(hdf5_path, split)
         self.split = split
@@ -128,6 +129,15 @@ class BioscanLoader:
         self.with_language = with_language
         self.for_training = for_training
         self.shuffle = shuffle
+        # 0 = full global permutation (pure random row access — fine while
+        # the split fits page cache, pathological against a 190 GB HDF5 on
+        # disk, SURVEY §7 hard part 5). >0 = window shuffle: rows shuffle
+        # WITHIN contiguous windows of this many records and the window
+        # order shuffles — every read stays inside one ~window span of the
+        # file (HDF5-chunk/page-cache-local), at the cost of mixing only
+        # within windows each epoch (shuffle quality scales with window
+        # size; the reference's DataLoader full shuffle is window = split).
+        self.shuffle_window = int(shuffle_window)
         self.drop_last = for_training if drop_last is None else drop_last
         self.seed = seed
         self.epoch = 0
@@ -193,7 +203,21 @@ class BioscanLoader:
         idx = np.arange(self.n)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
-            idx = rng.permutation(idx)
+            w = self.shuffle_window
+            if w and w < self.n:
+                # window shuffle: permute rows within each contiguous
+                # window, then permute the window order (sequential-local
+                # disk access at 1/w of full-shuffle randomness)
+                n_win = -(-self.n // w)
+                order = rng.permutation(n_win)
+                parts = []
+                for win in order:
+                    lo = win * w
+                    hi = min(lo + w, self.n)
+                    parts.append(lo + rng.permutation(hi - lo))
+                idx = np.concatenate(parts)
+            else:
+                idx = rng.permutation(idx)
         if self.process_count > 1:
             idx = idx[self.process_index :: self.process_count]
         bs = self.batch_size

@@ -159,6 +159,30 @@ def test_eval_host_crop_extract_features_equality(args):
     )
 
 
+def test_shuffle_window_locality_and_coverage(dataset_path):
+    """Window shuffle: every epoch is still a full permutation of the
+    split, each index stays inside its contiguous window (disk-local
+    reads), the window ORDER varies, and epochs differ."""
+    loader = BioscanLoader(
+        str(dataset_path), "no_split_and_seen_train", batch_size=4,
+        for_training=True, shuffle=True, shuffle_window=8, with_image=False,
+    )
+    idx = np.concatenate(list(loader._index_batches()))
+    n = loader.n
+    assert sorted(idx.tolist()) == list(range(n))  # full coverage
+    # each contiguous run of 8 emitted indices comes from ONE window
+    w = 8
+    for s in range(0, n - w + 1, w):
+        run = idx[s : s + w]
+        assert run.max() - run.min() < w, run
+    loader.set_epoch(1)
+    idx2 = np.concatenate(list(loader._index_batches()))
+    assert not np.array_equal(idx, idx2)  # epochs reshuffle
+    loader.set_epoch(0)
+    idx0 = np.concatenate(list(loader._index_batches()))
+    np.testing.assert_array_equal(idx, idx0)  # deterministic in epoch
+
+
 def test_extract_features_grouped_equality(args):
     """Dispatch-amortized grouped extraction (group_samples>0: K batches
     merged, all towers in one jit per group) returns the same embeddings,

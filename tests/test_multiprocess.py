@@ -34,7 +34,7 @@ def _free_port() -> int:
     return port
 
 
-def _reference_run(mode="plain"):
+def _reference_run(mode="plain", fixture=None):
     """1-process, 8-device ground truth (the conftest virtual mesh)."""
     import jax.numpy as jnp
 
@@ -42,6 +42,46 @@ def _reference_run(mode="plain"):
     state = _init_state(model)
     mesh = create_mesh()
     rng = jax.random.PRNGKey(0)
+    if mode == "loader":
+        # read the SAME process-strided shards the 2 workers read and
+        # concatenate them in process order — exactly the global array
+        # make_array_from_process_local_data assembles on the 2-process
+        # mesh (process 0's devices lead the data axis)
+        from bioscan_clip_tpu.data.dataset import construct_dataloader
+        from bioscan_clip_tpu.models.clip import init_clip_params
+        from bioscan_clip_tpu.train.loop import device_batch
+        from bioscan_clip_tpu.train.state import create_train_state
+        from tests.fixtures import SyntheticArgs
+        from tests.test_data_pipeline import _tiny_full_model
+
+        a = SyntheticArgs(fixture, batch_size=8)
+        a.cfg.merge({"tpu": {"eval_host_parity_resize": False}})
+        its = [
+            iter(construct_dataloader(
+                a, "no_split_and_seen_train", for_pre_train=True,
+                shuffle=True, process_index=p, process_count=2,
+            ))
+            for p in range(2)
+        ]
+        fm = _tiny_full_model()
+        params = init_clip_params(fm, jax.random.PRNGKey(0))
+        fstate = create_train_state(fm, params, lambda s: 1e-3)
+        step = make_train_step(fm, mesh)
+        losses = []
+        for _ in range(2):
+            parts = [device_batch(next(it)) for it in its]
+            b = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *parts
+            )
+            fstate, loss = step(fstate, shard_batch(b, mesh), rng)
+            losses.append(float(loss))
+        for it in its:
+            it.close()
+        fp = float(
+            sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree.leaves(fstate.params))
+        )
+        return losses, fp
     if mode == "scan":
         from bioscan_clip_tpu.parallel.mesh import shard_stacked_batches
         from bioscan_clip_tpu.train.loop import (
@@ -92,10 +132,17 @@ def _reference_run(mode="plain"):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "mode", ["plain", "scan", "gradcache", "gradcache_chunk", "accum"]
+    "mode", ["plain", "scan", "gradcache", "gradcache_chunk", "accum",
+             "loader"]
 )
 def test_two_process_matches_single_process(tmp_path, mode):
-    ref_losses, ref_fp = _reference_run(mode)
+    fixture = None
+    if mode == "loader":
+        from tests.fixtures import build_synthetic_dataset
+
+        fixture = str(tmp_path / "mp_fixture.hdf5")
+        build_synthetic_dataset(fixture, n_classes=4, per_class=16)
+    ref_losses, ref_fp = _reference_run(mode, fixture=fixture)
 
     port = _free_port()
     env = dict(os.environ)
@@ -109,10 +156,13 @@ def test_two_process_matches_single_process(tmp_path, mode):
     for pid in range(2):
         out = tmp_path / f"proc{pid}.json"
         outs.append(out)
+        argv = [sys.executable, worker, str(pid), "2", str(port), str(out),
+                mode]
+        if fixture:
+            argv.append(fixture)
         procs.append(
             subprocess.Popen(
-                [sys.executable, worker, str(pid), "2", str(port), str(out),
-                 mode],
+                argv,
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,

@@ -38,6 +38,13 @@ faulthandler.register(signal.SIGUSR1)
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+try:  # persistent XLA compilation cache (tunnel compiles are 20s-30min)
+    from bioscan_clip_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+except Exception:
+    pass
+
 
 def _note(msg):
     print(f"[e2e {time.strftime('%H:%M:%S')}] {msg}",
