@@ -46,6 +46,16 @@ def _run_lanes(k: int) -> int:
     return max(128, ((k + 127) // 128) * 128)
 
 
+def _vmem_params(interpret: bool):
+    """Raise Mosaic's 16 MB scoped-VMEM ceiling: tile-2048 / wide-q_block
+    layouts (fewer grid steps, fewer key re-streams — BENCH_TOPK_r05
+    measured 3x at int8 tile 2048 vs 512) exceed it while staying far
+    under the physical 128 MB VMEM."""
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _merge_tile(s, col_idx, n_valid, vals_out, idx_out, run_vals, run_idx,
                 s_scr, flag, *, k: int, t, n_tiles):
     """Threshold-gated running-top-k maintenance over one (Bq, T) tile.
@@ -231,6 +241,7 @@ def pallas_topk(queries, keys, n_valid, k: int = 5, tile: int = 512,
             jax.ShapeDtypeStruct((Bq, k), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_vmem_params(interpret),
     )(jnp.asarray([n_valid], jnp.int32), queries, keys)
     return vals, idx
 
@@ -291,6 +302,7 @@ def pallas_topk_i8(q_i8, q_scales, keys_i8, k_scales, n_valid, k: int = 5,
             jax.ShapeDtypeStruct((Bq, k), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_vmem_params(interpret),
     )(jnp.asarray([n_valid], jnp.int32), q_i8, q_scales, keys_i8, k_scales)
     return vals, idx
 

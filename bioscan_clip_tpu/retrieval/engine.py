@@ -98,7 +98,16 @@ def _topk_scan(queries, keys, n_valid, k: int, key_chunk: int,
     return vals, idxs
 
 
-PALLAS_TILE = 512
+# Key-tile width of the fused top-k kernel. 2048 beats 512 ~3x at int8
+# (20.2 ms vs ~60 ms per 1024 queries x 1M keys) and leaves fp32-HIGHEST
+# within 1.13x of its 6-pass MXU structural floor: wider tiles mean 4x
+# fewer grid steps, so the per-step scalar-core/DMA orchestration and the
+# merge's full-width passes amortize (BENCH_TOPK_r05.jsonl decomposition;
+# needs the raised Mosaic VMEM ceiling, ops/topk_pallas._vmem_params).
+PALLAS_TILE = 2048
+# Query rows per kernel block. 256 is the sweet spot: 512 regressed the
+# full top-k kernels 3-6x (VREG spill in the merge's full-width ops)
+# even though the mm-only control improved — see BENCH_TOPK_r05.
 Q_BLOCK = 256
 
 
