@@ -194,7 +194,7 @@ def transfer_probe(out_path):
     _emit({"mode": "transfer_probe", "device": str(dev), **rows}, out_path)
 
 
-def extract_e2e(split, batch, parity, out_path):
+def extract_e2e(split, batch, parity, out_path, repeat=1):
     """Full-split tri-modal extraction through the real eval loader — the
     extract_embedding CLI path (it calls the same extract_features)."""
     import jax
@@ -228,11 +228,19 @@ def extract_e2e(split, batch, parity, out_path):
         marks.append((i, t))
         _note(f"batch {i} starts at {t:.1f}s")
 
-    t0 = time.perf_counter()
-    split_dict = extract_features(
-        params, model, create_mesh(), loader, progress=_progress,
-    )
-    dur = time.perf_counter() - t0
+    mesh = create_mesh()
+    warm_s = None
+    for r in range(repeat):
+        t0 = time.perf_counter()
+        split_dict = extract_features(
+            params, model, mesh, loader, progress=_progress,
+        )
+        dur = time.perf_counter() - t0
+        if r == 0:
+            warm_s = dur  # first pass carries the jumbo-group compile
+            marks_first, marks[:] = list(marks), []
+    if repeat > 1:
+        marks = marks_first
     assert split_dict["encoded_image_feature"].shape[0] == n
     # steady rate: batches after the first 3 (tower compiles land in the
     # first batches), measured to the end of the run
@@ -240,7 +248,7 @@ def extract_e2e(split, batch, parity, out_path):
     if len(marks) > 4:
         i0, ts = marks[3]
         steady = round((n - i0 * batch) / (dur - ts), 1)
-    _emit({
+    row = {
         "mode": "extract_e2e",
         "samples_per_s": round(n / dur, 1),
         "samples_per_s_steady": steady,
@@ -249,7 +257,14 @@ def extract_e2e(split, batch, parity, out_path):
         "batch": batch,
         "eval_host_parity_resize": parity,
         "wall_s": round(dur, 1),
-    }, out_path)
+    }
+    if repeat > 1:
+        # warm rate: the LAST pass — jit cache hot, so this is the
+        # system rate a real multi-split/periodic-eval run sustains
+        row["first_pass_wall_s"] = round(warm_s, 1)
+        row["samples_per_s"] = round(n / dur, 1)
+        row["passes"] = repeat
+    _emit(row, out_path)
 
 
 if __name__ == "__main__":
@@ -265,7 +280,8 @@ if __name__ == "__main__":
         transfer_probe(out_path)
     elif "--extract" in sys.argv:
         extract_e2e(_flag("--split", "val_seen", cast=str),
-                    _flag("--batch", 24), "--parity" in sys.argv, out_path)
+                    _flag("--batch", 24), "--parity" in sys.argv, out_path,
+                    repeat=_flag("--repeat", 1))
     else:
         sys.exit(__doc__)
     # results are emitted; if interpreter shutdown wedges (stray non-daemon
