@@ -58,6 +58,15 @@ def run(args, max_steps_per_epoch=None, out=print, skip_final_eval=False):
     from bioscan_clip_tpu.utils.logging import WandbRun
 
     mc = args.model_config
+    # tpu.fast_ln: bf16 LayerNorm normalize/output with f32 statistics
+    # (flax always keeps LN mean/var reductions in f32). The reference
+    # trains pure fp32, so this sits in the same compute-dtype deviation
+    # class as the rest of bf16 training; tests/test_fast_ln.py bounds the
+    # embedding drift and the loss-trajectory drift. Env wins if already
+    # set (the bench A/Bs use the env knob directly).
+    _tpu_pre = getattr(args, "tpu", None)
+    if _tpu_pre and bool(_tpu_pre.get("fast_ln", False)):
+        os.environ.setdefault("BSCAN_FAST_LN", "1")
     if args.debug_flag:
         args.activate_wandb = False
         args.save_inference = False
