@@ -918,6 +918,9 @@ def extract_features(
     )
 
 
+_EMBED_GROUP_CACHE = {}  # see _extract_features_grouped
+
+
 def _extract_features_grouped(
     state_params, model, mesh, dataloader, modalities, for_key_set,
     openclip_norm, progress, group_samples: int,
@@ -928,8 +931,8 @@ def _extract_features_grouped(
     Exactness: the eval towers are deterministic (deterministic=True, no
     dropout), so batch grouping changes only XLA tiling — the same
     compute-dtype equality class as the merged-LoRA / chunked GradCache
-    stage-1 forwards (tests/test_extract_group.py checks grouped ==
-    per-batch). The final partial group is padded by repeating the last
+    stage-1 forwards (tests/test_data_pipeline.py::
+    test_extract_features_grouped_equality checks grouped == per-batch). The final partial group is padded by repeating the last
     row (shapes stay fixed -> one compile) and trimmed on fetch.
 
     Why it's fast: per group of G rows the host pays ONE dispatch + one
@@ -954,24 +957,37 @@ def _extract_features_grouped(
         is not None
     ]
     pre_cropped = bool(getattr(dataloader, "eval_pre_cropped", False))
-    methods = {
-        "image": model.encode_image,
-        "dna": model.encode_dna,
-        "language": model.encode_language,
-    }
+    # One jitted embed_group per (model, norm, crop, modalities) — cached
+    # across calls so train_cl's eval phase (3 extract_features calls per
+    # epoch, identical group shapes) compiles the expensive jumbo-group
+    # program ONCE instead of once per call (flax Modules hash by field
+    # values, so same-config models hit too).
+    cache_key = (model, openclip_norm, pre_cropped, tuple(avail))
+    embed_group = _EMBED_GROUP_CACHE.get(cache_key)
+    if embed_group is None:
 
-    @jax.jit
-    def embed_group(params, inputs):
-        out = {}
-        for m, x in inputs.items():
-            if m == "image" and x.dtype == jnp.uint8:
-                x = eval_transform(
-                    x, normalize=openclip_norm, pre_cropped=pre_cropped
+        @jax.jit
+        def embed_group(params, inputs):
+            methods = {
+                "image": model.encode_image,
+                "dna": model.encode_dna,
+                "language": model.encode_language,
+            }
+            out = {}
+            for m, x in inputs.items():
+                if m == "image" and x.dtype == jnp.uint8:
+                    x = eval_transform(
+                        x, normalize=openclip_norm, pre_cropped=pre_cropped
+                    )
+                out[m] = model.apply(
+                    {"params": params}, x, deterministic=True,
+                    method=methods[m],
                 )
-            out[m] = model.apply(
-                {"params": params}, x, deterministic=True, method=methods[m]
-            )
-        return out
+            return out
+
+        while len(_EMBED_GROUP_CACHE) >= 4:  # bound stale-model entries
+            _EMBED_GROUP_CACHE.pop(next(iter(_EMBED_GROUP_CACHE)))
+        _EMBED_GROUP_CACHE[cache_key] = embed_group
 
     feats = {m: [] for m in avail}
     label_dicts, ids = [], []

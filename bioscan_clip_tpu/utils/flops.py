@@ -65,8 +65,9 @@ class TowerFlops:
         return 2 * self.fwd + 2 * self.lora_fwd
 
     def train_full(self) -> float:
-        """disable_lora: fwd + full backward."""
-        return 3 * self.fwd
+        """disable_lora: fwd + full backward. The adapters don't run in
+        this mode, so their terms are excluded from fwd."""
+        return 3 * (self.fwd - self.lora_fwd)
 
     def train_gradcache(self) -> float:
         """Stage 1 fwd + stage 3 (fwd + LoRA backward)."""

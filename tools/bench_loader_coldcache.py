@@ -33,22 +33,6 @@ def evict(path: str):
         os.close(fd)
 
 
-def cached_gb(path: str) -> float:
-    """Resident page-cache bytes for the file (mincore via a best-effort
-    read of /proc; falls back to -1)."""
-    try:
-        import mmap
-
-        size = os.path.getsize(path)
-        with open(path, "rb") as f:
-            mm = mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ)
-            # mincore not exposed by mmap; approximate via fincore-free path
-            mm.close()
-    except Exception:
-        pass
-    return -1.0
-
-
 def run_loader(fixture, split, batch, steps, window, read_only=False):
     from bioscan_clip_tpu.data.pipeline import BioscanLoader
 

@@ -122,13 +122,17 @@ def tiny(x):
 
 
 def bench_pipelined(make_call, variants, iters=8):
-    """Median per-call seconds: distinct inputs per call, pipelined
-    dispatch, completion forced by fetching the last output's corner."""
+    """Mean per-call seconds: ONE DISTINCT input per timed call (the
+    runtime replays identical (program, args) executions from cache —
+    PERF_NOTES trap #1 — so variants[0] is burned on the warmup and each
+    timed call consumes its own fresh input), pipelined dispatch,
+    completion forced by fetching the last output's corner."""
+    n = min(iters, len(variants) - 1)
+    assert n >= 1, "need iters+1 distinct inputs (one is the warmup)"
     r = make_call(variants[0])
     np.asarray(jax.tree.leaves(r)[0])[:1]  # compile + hard sync
-    n = max(iters, len(variants))
     t0 = time.perf_counter()
-    outs = [make_call(variants[j % len(variants)]) for j in range(n)]
+    outs = [make_call(variants[1 + j]) for j in range(n)]
     np.asarray(jax.tree.leaves(outs[-1])[0][:1])  # forces all (in-order)
     return (time.perf_counter() - t0) / n
 
@@ -156,8 +160,8 @@ def main():
     ki_j, ksc_j = jnp.asarray(k_i8), jnp.asarray(k_sc.reshape(1, -1))
     del ks, k_i8
 
-    QV = []  # distinct query sets so the runtime can't replay results
-    for s in range(4):
+    QV = []  # iters+1 distinct query sets so the runtime can't replay
+    for s in range(args.iters + 1):
         q = rng.standard_normal((args.queries, args.dim)).astype(np.float32)
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         q_i8, q_sc = quantize_rows_i8(q)
@@ -176,7 +180,7 @@ def main():
 
     # pure dispatch+sync floor (distinct tiny inputs)
     tin = [jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
-           for _ in range(4)]
+           for _ in range(args.iters + 1)]
     dt = bench_pipelined(lambda v: tiny(v), tin, iters=args.iters)
     emit({"variant": "dispatch_floor", "s": round(dt, 5)})
 

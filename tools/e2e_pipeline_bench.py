@@ -229,18 +229,16 @@ def extract_e2e(split, batch, parity, out_path, repeat=1):
         _note(f"batch {i} starts at {t:.1f}s")
 
     mesh = create_mesh()
-    warm_s = None
+    first_pass_s = None
     for r in range(repeat):
+        marks[:] = []  # per-pass marks: steady must use ONE timeline
         t0 = time.perf_counter()
         split_dict = extract_features(
             params, model, mesh, loader, progress=_progress,
         )
         dur = time.perf_counter() - t0
         if r == 0:
-            warm_s = dur  # first pass carries the jumbo-group compile
-            marks_first, marks[:] = list(marks), []
-    if repeat > 1:
-        marks = marks_first
+            first_pass_s = dur  # carries the jumbo-group compile
     assert split_dict["encoded_image_feature"].shape[0] == n
     # steady rate: batches after the first 3 (tower compiles land in the
     # first batches), measured to the end of the run
@@ -261,8 +259,7 @@ def extract_e2e(split, batch, parity, out_path, repeat=1):
     if repeat > 1:
         # warm rate: the LAST pass — jit cache hot, so this is the
         # system rate a real multi-split/periodic-eval run sustains
-        row["first_pass_wall_s"] = round(warm_s, 1)
-        row["samples_per_s"] = round(n / dur, 1)
+        row["first_pass_wall_s"] = round(first_pass_s, 1)
         row["passes"] = repeat
     _emit(row, out_path)
 

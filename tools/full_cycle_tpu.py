@@ -89,17 +89,8 @@ def species_top1(acc_path):
             "seen_species_top1": e["seen"]["micro_acc"]["1"]["species"],
             "unseen_species_top1": e["unseen"]["micro_acc"]["1"]["species"],
         }
-    except Exception as exc:  # keys may be int if loaded in-process
-        try:
-            with open(acc_path) as f:
-                acc = json.load(f)
-            e = acc["encoded_image_feature"]["encoded_image_feature"]
-            return {
-                "seen_species_top1": e["seen"]["micro_acc"][1]["species"],
-                "unseen_species_top1": e["unseen"]["micro_acc"][1]["species"],
-            }
-        except Exception:
-            return {"acc_parse_error": str(exc)[:120]}
+    except Exception as exc:
+        return {"acc_parse_error": str(exc)[:120]}
 
 
 def main():
